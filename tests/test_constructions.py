@@ -1,0 +1,127 @@
+"""MacKay-Neal, PEG, systematic-permutation construction tests.
+
+Seeded constructions are validated structurally (weights, shapes, girth),
+not against the reference's golden alists, because the framework pins a
+different (numpy Philox) reproducible stream — see utils/rng.py.
+"""
+
+import numpy as np
+import pytest
+
+from ldpc_toolbox_tpu.gf2 import row_echelon_form
+from ldpc_toolbox_tpu.mackay_neal import Config as MNConfig, FillPolicy, MacKayNealError
+from ldpc_toolbox_tpu.peg import Config as PegConfig
+from ldpc_toolbox_tpu.sparse import SparseMatrix
+from ldpc_toolbox_tpu.systematic import SystematicError, parity_to_systematic
+
+
+def test_mackay_neal_regular():
+    conf = MNConfig(nrows=16, ncols=32, wr=8, wc=4, fill_policy=FillPolicy.UNIFORM)
+    h = conf.run(42)
+    assert h.num_rows == 16 and h.num_cols == 32
+    for c in range(32):
+        assert h.col_weight(c) == 4
+    for r in range(16):
+        assert h.row_weight(r) == 8  # regular fill must balance exactly
+
+
+def test_mackay_neal_reproducible():
+    conf = MNConfig(nrows=8, ncols=16, wr=4, wc=2)
+    h1 = conf.run(7)
+    h2 = conf.run(7)
+    assert h1 == h2
+    h3 = conf.run(8)
+    assert h1 != h3 or True  # different seed may rarely coincide; no assert
+
+
+def test_mackay_neal_min_girth():
+    conf = MNConfig(
+        nrows=64,
+        ncols=128,
+        wr=6,
+        wc=3,
+        min_girth=6,
+        girth_trials=10000,
+        backtrack_cols=3,
+        backtrack_trials=200,
+    )
+    h = conf.run(0)
+    g = h.girth()
+    assert g is not None and g >= 6
+
+
+def test_mackay_neal_search():
+    conf = MNConfig(nrows=8, ncols=16, wr=4, wc=2, fill_policy=FillPolicy.RANDOM)
+    found = conf.search(0, 64)
+    assert found is not None
+    seed, h = found
+    assert h.num_cols == 16
+    # re-running the found seed reproduces the matrix
+    assert conf.run(seed) == h
+
+
+def test_peg_basic():
+    conf = PegConfig(nrows=32, ncols=64, wc=3)
+    h = conf.run(0)
+    assert h.num_rows == 32 and h.num_cols == 64
+    for c in range(64):
+        assert h.col_weight(c) == 3
+    # PEG fills check nodes near-uniformly (degree is a tie-break after
+    # distance, so exact balance is not guaranteed)
+    weights = [h.row_weight(r) for r in range(32)]
+    assert max(weights) - min(weights) <= 2
+    # at this density PEG's greedy girth maximization avoids 4-cycles
+    assert h.girth() >= 6
+
+
+def test_peg_reproducible():
+    conf = PegConfig(nrows=12, ncols=24, wc=3)
+    assert conf.run(3) == conf.run(3)
+
+
+def test_parity_to_systematic_reference_fixture():
+    # fixture from systematic.rs:92-113
+    h = SparseMatrix(3, 9)
+    h.insert_col(0, [0, 1, 2])
+    h.insert_col(1, [0, 2])
+    h.insert_col(3, [1])
+    h.insert_col(4, [0, 1])
+    h.insert_col(5, [1, 2])
+    h.insert_col(6, [0, 2])
+    h.insert_col(7, [1])
+    h.insert_col(8, [0, 2])
+    expected = SparseMatrix(3, 9)
+    expected.insert_col(6, [0, 1, 2])
+    expected.insert_col(7, [0, 2])
+    expected.insert_col(1, [1])
+    expected.insert_col(8, [0, 1])
+    expected.insert_col(2, [1, 2])
+    expected.insert_col(3, [0, 2])
+    expected.insert_col(4, [1])
+    expected.insert_col(5, [0, 2])
+    assert parity_to_systematic(h) == expected
+
+
+def test_parity_to_systematic_invertible_tail():
+    conf = MNConfig(nrows=12, ncols=24, wr=6, wc=3)
+    h = conf.run(5)
+    hs = parity_to_systematic(h)
+    n, m = hs.num_rows, hs.num_cols
+    tail = hs.to_dense()[:, m - n :]
+    # last n columns must form an invertible matrix: full rank after echelon
+    r = row_echelon_form(tail.copy())
+    assert r[n - 1].any()
+
+
+def test_parity_to_systematic_overdetermined():
+    h = SparseMatrix(5, 3)
+    with pytest.raises(SystematicError):
+        parity_to_systematic(h)
+
+
+def test_parity_to_systematic_not_full_rank():
+    h = SparseMatrix(2, 4)
+    h.insert_row(0, [0, 1])
+    h.insert_row(1, [0, 1])  # duplicate row -> rank 1
+    with pytest.raises(SystematicError):
+        parity_to_systematic(h)
