@@ -7,8 +7,9 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import / backend init. Note the harness environment
+# pre-sets JAX_PLATFORMS=axon (the TPU tunnel), so assign, don't setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon site config can override the env var after import; pin via config.
+jax.config.update("jax_platforms", "cpu")
 
 # Enable f64 so the *f64 arithmetic variants are exercised with real double
 # precision on CPU (TPU runs them as f32 — see decoder.factory).
