@@ -1,0 +1,308 @@
+"""Monte-Carlo BER/FER simulation harness (batched, sharded, jitted).
+
+Rebuild of the reference's ``src/simulation/ber.rs``. The reference runs a
+thread-per-worker frame loop with mpsc fan-in (ber.rs:303-359); here the
+whole per-frame chain — random message, encode, puncture, interleave,
+modulate, AWGN, demodulate, deinterleave, depuncture, decode, count
+systematic bit errors (ber.rs:436-481) — is ONE jitted step over a batch
+of frames, with the noise standard deviation as a traced scalar so a
+single compilation serves every Eb/N0 point. The codeword batch shards
+over a device mesh; the step returns eleven scalar counters, reduced on
+device (psum over ICI when sharded).
+
+Semantics preserved from the reference:
+
+* sigma = sqrt(0.5 / (rate * bits_per_symbol * 10^(EbN0/10))), with
+  rate = k/n after puncturing (ber.rs:246-302);
+* bit errors counted on systematic bits only (ber.rs:467-472);
+* ``false_decode`` = decoder converged but wrong (ber.rs:474);
+* stop rule per point: frame_errors >= max AND elapsed >= min_time, or
+  elapsed >= max_time (ber.rs:522-531);
+* optional virtual BCH outer decoder: frames with residual bit errors
+  <= bch_max_errors count as corrected; termination then keys on BCH
+  frame errors (ber.rs:328-337, 514-520);
+* Statistics fields including throughput_mbps = 1e-6*k*frames/elapsed
+  (ber.rs:550-582).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder import DecodeGraph, flooding_decode, layered_decode
+from ..decoder.factory import make_arithmetic
+from ..encoder import Encoder
+from ..sparse import SparseMatrix
+from .channel import AwgnChannel
+from .interleaving import Interleaver
+from .modulation import Bpsk
+from .puncturing import Puncturer
+
+__all__ = [
+    "BerTest",
+    "BerTestParameters",
+    "Statistics",
+    "CodeStatistics",
+]
+
+
+@dataclass
+class CodeStatistics:
+    """Per-code-layer statistics (ber.rs:168-189)."""
+
+    bit_errors: int = 0
+    frame_errors: int = 0
+    correct_iterations: int = 0
+    ber: float = 0.0
+    fer: float = 0.0
+    average_iterations_correct: float = 0.0
+
+
+@dataclass
+class Statistics:
+    """Statistics for one Eb/N0 point (ber.rs:145-166)."""
+
+    ebn0_db: float
+    num_frames: int
+    false_decodes: int
+    total_iterations: int
+    average_iterations: float
+    elapsed: float  # seconds
+    throughput_mbps: float
+    ldpc: CodeStatistics
+    bch: Optional[CodeStatistics] = None
+
+
+@dataclass
+class BerTestParameters:
+    """Configuration of a BER test (mirrors BerTestParameters, ber.rs:60-96)."""
+
+    h: SparseMatrix
+    decoder_implementation: str = "Phif64"
+    puncturing_pattern: Optional[Sequence[bool]] = None
+    # abs value = columns; negative = read rows backwards (ber.rs:66-70)
+    interleaving_columns: Optional[int] = None
+    max_frame_errors: int = 100
+    min_run_time: Optional[float] = None  # seconds
+    max_run_time: Optional[float] = None
+    max_iterations: int = 100
+    ebn0s_db: Sequence[float] = field(default_factory=list)
+    # reporter(stats, final) called every >= report_interval and per point
+    reporter: Optional[Callable[[Statistics, bool], None]] = None
+    report_interval: float = 0.5
+    bch_max_errors: int = 0
+    # batch of frames per decode step (the TPU analog of num_workers)
+    batch_size: int = 128
+    seed: int = 0
+    mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip runs
+
+
+@dataclass
+class _Counters:
+    num_frames: int = 0
+    bit_errors: int = 0
+    frame_errors: int = 0
+    false_decodes: int = 0
+    total_iterations: int = 0
+    correct_iterations: int = 0
+    bch_bit_errors: int = 0
+    bch_frame_errors: int = 0
+    bch_correct_iterations: int = 0
+
+    def add(self, d):
+        self.num_frames += int(d["num_frames"])
+        self.bit_errors += int(d["bit_errors"])
+        self.frame_errors += int(d["frame_errors"])
+        self.false_decodes += int(d["false_decodes"])
+        self.total_iterations += int(d["total_iterations"])
+        self.correct_iterations += int(d["correct_iterations"])
+        self.bch_bit_errors += int(d["bch_bit_errors"])
+        self.bch_frame_errors += int(d["bch_frame_errors"])
+        self.bch_correct_iterations += int(d["bch_correct_iterations"])
+
+
+class BerTest:
+    """BER test over a list of Eb/N0 points."""
+
+    def __init__(self, parameters: BerTestParameters, modulation=None):
+        p = parameters
+        self.p = p
+        self.modulation = modulation if modulation is not None else Bpsk()
+        h = p.h
+        self.k = h.num_cols - h.num_rows
+        self.n_cw = h.num_cols
+        self.puncturer = (
+            Puncturer(p.puncturing_pattern) if p.puncturing_pattern else None
+        )
+        self.interleaver = (
+            Interleaver(abs(p.interleaving_columns), p.interleaving_columns < 0)
+            if p.interleaving_columns
+            else None
+        )
+        punct_rate = self.puncturer.rate() if self.puncturer else 1.0
+        self.n = round(self.n_cw / punct_rate)
+        self.rate = self.k / self.n
+        self.encoder = Encoder(h)
+        self.graph = DecodeGraph.from_sparse(h)
+        self.schedule, self.arithmetic = make_arithmetic(
+            p.decoder_implementation
+        )
+        self._decode = (
+            flooding_decode if self.schedule == "flooding" else layered_decode
+        )
+        self.statistics: list[Statistics] = []
+        self._step = jax.jit(self._make_step())
+
+    # -- the jitted per-batch step ----------------------------------------
+
+    def _make_step(self):
+        p = self.p
+        B = p.batch_size
+        k = self.k
+        mod = self.modulation
+        mesh = p.mesh
+
+        def step(key, noise_sigma):
+            kmsg, knoise = jax.random.split(key)
+            msg = jax.random.bernoulli(kmsg, 0.5, (B, k)).astype(jnp.uint8)
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                msg = shard_batch(msg, mesh)
+            cw = self.encoder._encode_batch(msg)
+            tx = self.puncturer.puncture(cw) if self.puncturer else cw
+            tx = self.interleaver.interleave(tx) if self.interleaver else tx
+            sym = mod.modulate(tx)
+            rx = AwgnChannel.add_noise(knoise, sym, noise_sigma)
+            llr = mod.demodulate(rx, noise_sigma)
+            llr = self.interleaver.deinterleave(llr) if self.interleaver else llr
+            llr = self.puncturer.depuncture(llr) if self.puncturer else llr
+            out = self._decode(
+                self.graph, self.arithmetic, llr, p.max_iterations
+            )
+            # bit errors on systematic bits only (ber.rs:467-472)
+            errbits = jnp.sum(
+                out["codeword"][:, :k] != msg, axis=1, dtype=jnp.int32
+            )
+            frame_err = errbits > 0
+            false_dec = frame_err & out["success"]
+            iters = out["iterations"]
+            bch_frame_err = errbits > p.bch_max_errors
+            s = partial(jnp.sum, dtype=jnp.int64)
+            return {
+                "num_frames": jnp.int64(B),
+                "bit_errors": s(errbits),
+                "frame_errors": s(frame_err),
+                "false_decodes": s(false_dec),
+                "total_iterations": s(iters),
+                "correct_iterations": s(jnp.where(frame_err, 0, iters)),
+                "bch_bit_errors": s(jnp.where(bch_frame_err, errbits, 0)),
+                "bch_frame_errors": s(bch_frame_err),
+                "bch_correct_iterations": s(
+                    jnp.where(bch_frame_err, 0, iters)
+                ),
+            }
+
+        return step
+
+    # -- driver loop -------------------------------------------------------
+
+    def _point_statistics(
+        self, c: _Counters, ebn0_db: float, elapsed: float
+    ) -> Statistics:
+        nf = max(c.num_frames, 1)
+        has_bch = self.p.bch_max_errors > 0
+        ldpc = CodeStatistics(
+            bit_errors=c.bit_errors,
+            frame_errors=c.frame_errors,
+            correct_iterations=c.correct_iterations,
+            ber=c.bit_errors / (self.k * nf),
+            fer=c.frame_errors / nf,
+            average_iterations_correct=(
+                c.correct_iterations / max(nf - c.frame_errors, 1)
+            ),
+        )
+        bch = None
+        if has_bch:
+            bch = CodeStatistics(
+                bit_errors=c.bch_bit_errors,
+                frame_errors=c.bch_frame_errors,
+                correct_iterations=c.bch_correct_iterations,
+                ber=c.bch_bit_errors / (self.k * nf),
+                fer=c.bch_frame_errors / nf,
+                average_iterations_correct=(
+                    c.bch_correct_iterations / max(nf - c.bch_frame_errors, 1)
+                ),
+            )
+        return Statistics(
+            ebn0_db=ebn0_db,
+            num_frames=c.num_frames,
+            false_decodes=c.false_decodes,
+            total_iterations=c.total_iterations,
+            average_iterations=c.total_iterations / nf,
+            elapsed=elapsed,
+            throughput_mbps=1e-6 * self.k * c.num_frames / max(elapsed, 1e-12),
+            ldpc=ldpc,
+            bch=bch,
+        )
+
+    def run(self) -> list[Statistics]:
+        p = self.p
+        base_key = jax.random.key(p.seed)
+        min_time = p.min_run_time or 0.0
+        max_time = p.max_run_time if p.max_run_time is not None else float("inf")
+        has_bch = p.bch_max_errors > 0
+
+        for point, ebn0_db in enumerate(p.ebn0s_db):
+            ebn0 = 10.0 ** (0.1 * float(ebn0_db))
+            esn0 = self.rate * self.modulation.BITS_PER_SYMBOL * ebn0
+            noise_sigma = float(np.sqrt(0.5 / esn0))
+            counters = _Counters()
+            start = time.monotonic()
+            last_report = start
+            step_idx = 0
+            in_flight = []  # small pipeline so host accounting overlaps device
+            while True:
+                elapsed = time.monotonic() - start
+                errors = (
+                    counters.bch_frame_errors
+                    if has_bch
+                    else counters.frame_errors
+                )
+                if (
+                    errors >= p.max_frame_errors and elapsed >= min_time
+                ) or elapsed >= max_time:
+                    break
+                key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, point), step_idx
+                )
+                in_flight.append(self._step(key, noise_sigma))
+                step_idx += 1
+                if len(in_flight) >= 2:
+                    counters.add(jax.device_get(in_flight.pop(0)))
+                if p.reporter is not None:
+                    now = time.monotonic()
+                    if now - last_report >= p.report_interval:
+                        last_report = now
+                        p.reporter(
+                            self._point_statistics(
+                                counters, ebn0_db, now - start
+                            ),
+                            False,
+                        )
+            for d in in_flight:
+                counters.add(jax.device_get(d))
+            stats = self._point_statistics(
+                counters, ebn0_db, time.monotonic() - start
+            )
+            self.statistics.append(stats)
+            if p.reporter is not None:
+                p.reporter(stats, True)
+        return self.statistics
