@@ -1,0 +1,431 @@
+"""Command-line interface.
+
+The 9 subcommands of the reference CLI (cli.rs:30-51) with matching names,
+flags and output formats: ``5g``, ``ber``, ``ccsds``, ``ccsds-c2``,
+``dvbs2``, ``encode``, ``mackay-neal``, ``peg``, ``systematic``.
+Constructions print alists on stdout (girth reports go to stderr,
+"Code girth = N"); ``ber`` renders the reference's live progress table
+(cli/ber.rs:315-340) and optional results files.
+
+Differences from the reference, by design:
+
+* ``--num-threads`` is accepted but ignored; the TPU analog of the worker
+  pool is the decode batch, set with ``--batch-size``.
+* ``--shard`` shards the batch over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+
+def _die(msg: str) -> "NoReturn":  # noqa: F821
+    print(f"error: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+def parse_puncturing_pattern(s: str) -> list[bool]:
+    """Parse "1,1,1,0" (cli/ber.rs:219-229)."""
+    out = []
+    for a in s.split(","):
+        if a == "0":
+            out.append(False)
+        elif a == "1":
+            out.append(True)
+        else:
+            raise ValueError("invalid puncturing pattern")
+    return out
+
+
+def parse_duration(s: str) -> float:
+    """Parse humantime-style durations: "30s", "5m", "1h 30m", "90"."""
+    s = s.strip()
+    if not s:
+        raise ValueError("empty duration")
+    units = {
+        "ms": 1e-3, "s": 1.0, "sec": 1.0, "secs": 1.0, "m": 60.0,
+        "min": 60.0, "mins": 60.0, "h": 3600.0, "hr": 3600.0,
+        "hours": 3600.0, "hour": 3600.0, "d": 86400.0, "day": 86400.0,
+        "days": 86400.0,
+    }
+    total = 0.0
+    matched = False
+    for num, unit in re.findall(r"([0-9.]+)\s*([a-z]*)", s):
+        if not num:
+            continue
+        matched = True
+        if unit == "":
+            total += float(num)
+        elif unit in units:
+            total += float(num) * units[unit]
+        else:
+            raise ValueError(f"unknown duration unit {unit!r}")
+    if not matched:
+        raise ValueError(f"cannot parse duration {s!r}")
+    return total
+
+
+def _print_alist_and_girth(h, girth: bool) -> None:
+    sys.stdout.write(h.alist())
+    if girth:
+        g = h.girth()
+        if g is None:
+            print("Code girth = infinity (there are no cycles)", file=sys.stderr)
+        else:
+            print(f"Code girth = {g}", file=sys.stderr)
+
+
+# -- subcommand runners ------------------------------------------------------
+
+
+def run_5g(args) -> None:
+    from .codes.nr5g import BaseGraph
+
+    bg = BaseGraph.BG1 if args.base_graph == "1" else BaseGraph.BG2
+    h = bg.h(args.lifting_size)
+    _print_alist_and_girth(h, args.girth)
+
+
+def run_ccsds(args) -> None:
+    from .codes.ccsds import AR4JACode, AR4JAInfoSize, AR4JARate
+
+    rates = {"1/2": AR4JARate.R1_2, "2/3": AR4JARate.R2_3, "4/5": AR4JARate.R4_5}
+    sizes = {
+        1024: AR4JAInfoSize.K1024,
+        4096: AR4JAInfoSize.K4096,
+        16384: AR4JAInfoSize.K16384,
+    }
+    if args.rate not in rates:
+        _die(f"invalid rate {args.rate}")
+    if args.block_size not in sizes:
+        _die(f"invalid block size {args.block_size}")
+    h = AR4JACode(rates[args.rate], sizes[args.block_size]).h()
+    _print_alist_and_girth(h, args.girth)
+
+
+def run_ccsds_c2(args) -> None:
+    from .codes.ccsds import C2Code
+
+    sys.stdout.write(C2Code().h().alist())
+
+
+def run_dvbs2(args) -> None:
+    from .codes.dvbs2 import Code
+
+    name = "R" + args.rate.replace("/", "_") + ("short" if args.short else "")
+    try:
+        code = Code[name]
+    except KeyError:
+        frame = "short" if args.short else "normal"
+        _die(f"Invalid rate {args.rate} for {frame} FECFRAME")
+    _print_alist_and_girth(code.h(), args.girth)
+
+
+def run_mackay_neal(args) -> None:
+    from .mackay_neal import Config, FillPolicy, MacKayNealError
+
+    conf = Config(
+        nrows=args.num_rows,
+        ncols=args.num_columns,
+        wr=args.wr,
+        wc=args.wc,
+        backtrack_cols=args.backtrack_cols,
+        backtrack_trials=args.backtrack_trials,
+        min_girth=args.min_girth,
+        girth_trials=args.girth_trials,
+        fill_policy=FillPolicy.UNIFORM if args.uniform else FillPolicy.RANDOM,
+    )
+    if args.search:
+        found = conf.search(args.seed, args.seed_trials)
+        if found is None:
+            _die("no valid seed found")
+        seed, h = found
+        print(f"seed = {seed}", file=sys.stderr)
+    else:
+        try:
+            h = conf.run(args.seed)
+        except MacKayNealError as e:
+            _die(str(e))
+    sys.stdout.write(h.alist())
+
+
+def run_peg(args) -> None:
+    from .peg import Config, PegError
+
+    conf = Config(nrows=args.num_rows, ncols=args.num_columns, wc=args.wc)
+    try:
+        h = conf.run(args.seed)
+    except PegError as e:
+        _die(str(e))
+    for r in range(h.num_rows):
+        if h.row_weight(r) < 2:
+            msg = "warning: at least 1 row weight <= 1"
+            if conf.wc < 3:
+                msg += " (try col weight >= 3?)"
+            print(msg, file=sys.stderr)
+            break
+    sys.stdout.write(h.alist())
+    if args.girth:
+        g = h.girth()
+        if g is None:
+            print("Code girth = infinity (there are no cycles)", file=sys.stderr)
+        else:
+            print(f"Code girth = {g}", file=sys.stderr)
+
+
+def run_systematic(args) -> None:
+    from .sparse import SparseMatrix
+    from .systematic import SystematicError, parity_to_systematic
+
+    h = SparseMatrix.from_alist_file(args.alist)
+    try:
+        hs = parity_to_systematic(h)
+    except SystematicError as e:
+        _die(str(e))
+    sys.stdout.write(hs.alist())
+
+
+def run_encode(args) -> None:
+    import numpy as np
+
+    from .encoder import Encoder, EncoderError
+    from .simulation.puncturing import Puncturer
+    from .sparse import SparseMatrix
+
+    h = SparseMatrix.from_alist_file(args.alist)
+    try:
+        encoder = Encoder(h)
+    except EncoderError as e:
+        _die(str(e))
+    puncturer = (
+        Puncturer(parse_puncturing_pattern(args.puncturing))
+        if args.puncturing
+        else None
+    )
+    k = encoder.k
+    data = np.fromfile(args.input, dtype=np.uint8)
+    nwords = len(data) // k  # trailing partial word ignored, like read_exact
+    with open(args.output, "wb") as out:
+        if nwords == 0:
+            return
+        msgs = data[: nwords * k].reshape(nwords, k)
+        cw = np.asarray(encoder.encode_batch(msgs))
+        if puncturer is not None:
+            cw = np.asarray(puncturer.puncture(cw))
+        out.write(cw.astype(np.uint8).tobytes())
+
+
+_BER_HEADER = (
+    "  Eb/N0 |   Frames | Bit errs | Frame er | False de |     BER |"
+    "     FER | Avg iter | Avg corr | Throughp | Elapsed\n"
+    "--------|----------|----------|----------|----------|---------|"
+    "---------|----------|----------|----------|----------"
+)
+
+
+def _format_duration(seconds: float) -> str:
+    """Whole-second humantime-like rendering ("1m 5s")."""
+    s = int(seconds)
+    if s == 0:
+        return "0s"
+    parts = []
+    for unit, size in (("d", 86400), ("h", 3600), ("m", 60), ("s", 1)):
+        if s >= size:
+            parts.append(f"{s // size}{unit}")
+            s %= size
+    return " ".join(parts)
+
+
+def _format_progress(stats, force_ldpc: bool) -> str:
+    code_stats = stats.ldpc if (force_ldpc or stats.bch is None) else stats.bch
+    return (
+        f"{stats.ebn0_db:7.2f} | {stats.num_frames:8} | "
+        f"{code_stats.bit_errors:8} | {code_stats.frame_errors:8} | "
+        f"{stats.false_decodes:8} | {code_stats.ber:7.2e} | "
+        f"{code_stats.fer:7.2e} | {stats.average_iterations:8.1f} | "
+        f"{code_stats.average_iterations_correct:8.1f} | "
+        f"{stats.throughput_mbps:8.3f} | "
+        f"{_format_duration(stats.elapsed)}"
+    )
+
+
+def run_ber(args) -> None:
+    from .simulation.factory import BerTestBuilder, Modulation
+    from .sparse import SparseMatrix
+
+    try:
+        puncturing = (
+            parse_puncturing_pattern(args.puncturing) if args.puncturing else None
+        )
+    except ValueError as e:
+        _die(str(e))
+    h = SparseMatrix.from_alist_file(args.alist)
+    num_ebn0s = int((args.max_ebn0 - args.min_ebn0) / args.step_ebn0) + 1
+    ebn0s = [args.min_ebn0 + i * args.step_ebn0 for i in range(num_ebn0s)]
+
+    mesh = None
+    if args.shard:
+        from .parallel import default_mesh
+
+        mesh = default_mesh()
+
+    out_file = open(args.output_file, "w") if args.output_file else None
+    out_file_ldpc = (
+        open(args.output_file_ldpc, "w")
+        if (args.output_file_ldpc and args.bch_max_errors > 0)
+        else None
+    )
+
+    state = {"last_ebn0": None, "printed": False}
+
+    def reporter(stats, final):
+        if state["printed"] and state["last_ebn0"] == stats.ebn0_db:
+            # rewrite the current line in place
+            sys.stdout.write("\x1b[1A\x1b[2K")
+        sys.stdout.write(_format_progress(stats, False) + "\n")
+        sys.stdout.flush()
+        state["last_ebn0"] = stats.ebn0_db
+        state["printed"] = True
+        if final:
+            if out_file:
+                out_file.write(_format_progress(stats, False) + "\n")
+                out_file.flush()
+            if out_file_ldpc:
+                out_file_ldpc.write(_format_progress(stats, True) + "\n")
+                out_file_ldpc.flush()
+
+    print(_BER_HEADER)
+    for f in (out_file, out_file_ldpc):
+        if f:
+            f.write(_BER_HEADER + "\n")
+
+    test = BerTestBuilder(
+        h=h,
+        modulation=Modulation.parse(args.modulation),
+        decoder_implementation=args.decoder,
+        puncturing_pattern=puncturing,
+        interleaving_columns=args.interleaving,
+        max_frame_errors=args.frame_errors,
+        min_run_time=parse_duration(args.min_time) if args.min_time else None,
+        max_run_time=parse_duration(args.max_time) if args.max_time else None,
+        max_iterations=args.max_iter,
+        ebn0s_db=ebn0s,
+        reporter=reporter,
+        bch_max_errors=args.bch_max_errors,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        mesh=mesh,
+    ).build()
+    try:
+        test.run()
+    finally:
+        for f in (out_file, out_file_ldpc):
+            if f:
+                f.close()
+
+
+# -- parser ------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ldpc-toolbox-tpu",
+        description="TPU-native LDPC toolbox (capability parity with ldpc-toolbox)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("5g", help="Generates the alist of 5G NR LDPCs")
+    s.add_argument("--base-graph", required=True, choices=["1", "2"])
+    s.add_argument("--lifting-size", required=True, type=int)
+    s.add_argument("--girth", action="store_true")
+    s.set_defaults(func=run_5g)
+
+    s = sub.add_parser("ber", help="Performs a BER simulation")
+    s.add_argument("alist")
+    s.add_argument("--output-file")
+    s.add_argument("--output-file-ldpc")
+    s.add_argument("--decoder", default="Phif64")
+    s.add_argument("--modulation", default="BPSK", choices=["BPSK", "8PSK"])
+    s.add_argument("--puncturing")
+    s.add_argument("--interleaving", type=int)
+    s.add_argument("--min-ebn0", type=float, required=True)
+    s.add_argument("--max-ebn0", type=float, required=True)
+    s.add_argument("--step-ebn0", type=float, required=True)
+    s.add_argument("--max-iter", type=int, default=100)
+    s.add_argument("--frame-errors", type=int, default=100)
+    s.add_argument("--min-time")
+    s.add_argument("--max-time")
+    s.add_argument("--bch-max-errors", type=int, default=0)
+    s.add_argument("--batch-size", type=int, default=128)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--shard", action="store_true",
+                   help="shard the batch over all devices")
+    s.add_argument("--num-threads", type=int, default=None,
+                   help="accepted for reference-CLI compatibility (ignored)")
+    s.set_defaults(func=run_ber)
+
+    s = sub.add_parser("ccsds", help="Generates the alist of CCSDS LDPCs")
+    s.add_argument("-r", "--rate", required=True)
+    s.add_argument("--block-size", type=int, required=True)
+    s.add_argument("--girth", action="store_true")
+    s.set_defaults(func=run_ccsds)
+
+    s = sub.add_parser("ccsds-c2", help="Generates the alist of CCSDS C2 LDPC")
+    s.set_defaults(func=run_ccsds_c2)
+
+    s = sub.add_parser("dvbs2", help="Generates the alist of DVB-S2 LDPCs")
+    s.add_argument("-r", "--rate", required=True)
+    s.add_argument("--short", action="store_true")
+    s.add_argument("--girth", action="store_true")
+    s.set_defaults(func=run_dvbs2)
+
+    s = sub.add_parser("encode", help="Encodes a file of unpacked bits")
+    s.add_argument("alist")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("puncturing", nargs="?")
+    s.set_defaults(func=run_encode)
+
+    s = sub.add_parser("mackay-neal", help="Generates a MacKay-Neal LDPC")
+    s.add_argument("num_rows", type=int)
+    s.add_argument("num_columns", type=int)
+    s.add_argument("wr", type=int)
+    s.add_argument("wc", type=int)
+    s.add_argument("seed", type=int)
+    s.add_argument("--backtrack-cols", type=int, default=0)
+    s.add_argument("--backtrack-trials", type=int, default=0)
+    s.add_argument("--min-girth", type=int)
+    s.add_argument("--girth-trials", type=int, default=0)
+    s.add_argument("--uniform", action="store_true")
+    s.add_argument("--seed-trials", type=int, default=1000)
+    s.add_argument("--search", action="store_true")
+    s.set_defaults(func=run_mackay_neal)
+
+    s = sub.add_parser("peg", help="Generates an LDPC with Progressive Edge Growth")
+    s.add_argument("num_rows", type=int)
+    s.add_argument("num_columns", type=int)
+    s.add_argument("wc", type=int)
+    s.add_argument("seed", type=int)
+    s.add_argument("--girth", action="store_true")
+    s.set_defaults(func=run_peg)
+
+    s = sub.add_parser(
+        "systematic",
+        help="Permutes the columns of an alist to make the code systematic",
+    )
+    s.add_argument("alist")
+    s.set_defaults(func=run_systematic)
+
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

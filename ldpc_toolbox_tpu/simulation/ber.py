@@ -195,9 +195,10 @@ class BerTest:
             false_dec = frame_err & out["success"]
             iters = out["iterations"]
             bch_frame_err = errbits > p.bch_max_errors
-            s = partial(jnp.sum, dtype=jnp.int64)
+            # int32 per-step counters (host accumulates in Python ints)
+            s = partial(jnp.sum, dtype=jnp.int32)
             return {
-                "num_frames": jnp.int64(B),
+                "num_frames": jnp.int32(B),
                 "bit_errors": s(errbits),
                 "frame_errors": s(frame_err),
                 "false_decodes": s(false_dec),

@@ -1,0 +1,130 @@
+"""CLI subcommand tests (matching cli.rs:30-51 command surface)."""
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+from ldpc_toolbox_tpu.cli import (
+    main,
+    parse_duration,
+    parse_puncturing_pattern,
+)
+from ldpc_toolbox_tpu.sparse import SparseMatrix
+
+
+def run_cli(args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(args)
+    return buf.getvalue()
+
+
+def test_parse_puncturing_pattern():
+    assert parse_puncturing_pattern("1,1,1,0") == [True, True, True, False]
+    with pytest.raises(ValueError):
+        parse_puncturing_pattern("1,2")
+
+
+def test_parse_duration():
+    assert parse_duration("30s") == 30
+    assert parse_duration("5m") == 300
+    assert parse_duration("1h 30m") == 5400
+    assert parse_duration("90") == 90
+
+
+def test_cli_mackay_neal_and_systematic(tmp_path):
+    alist = run_cli(["mackay-neal", "8", "16", "6", "3", "42", "--uniform"])
+    h = SparseMatrix.from_alist(alist)
+    assert h.num_rows == 8 and h.num_cols == 16
+    f = tmp_path / "code.alist"
+    f.write_text(alist)
+    sysal = run_cli(["systematic", str(f)])
+    hs = SparseMatrix.from_alist(sysal)
+    assert hs.num_rows == 8 and hs.num_cols == 16
+
+
+def test_cli_peg(capsys_disabled=None):
+    alist = run_cli(["peg", "8", "16", "3", "1"])
+    h = SparseMatrix.from_alist(alist)
+    assert all(h.col_weight(c) == 3 for c in range(16))
+
+
+def test_cli_dvbs2_shapes():
+    out = run_cli(["dvbs2", "--rate", "8/9", "--short"])
+    assert out.splitlines()[0] == "16200 1800"
+
+
+def test_cli_dvbs2_invalid_rate():
+    with pytest.raises(SystemExit):
+        run_cli(["dvbs2", "--rate", "7/8"])
+
+
+def test_cli_5g():
+    out = run_cli(["5g", "--base-graph", "2", "--lifting-size", "8"])
+    assert out.splitlines()[0] == "416 336"
+
+
+def test_cli_ccsds():
+    out = run_cli(["ccsds", "--rate", "4/5", "--block-size", "1024"])
+    assert out.splitlines()[0] == "1408 384"
+
+
+def test_cli_encode(tmp_path):
+    alist = run_cli(["mackay-neal", "8", "16", "6", "3", "42", "--uniform"])
+    code = tmp_path / "code.alist"
+    code.write_text(alist)
+    sysal = run_cli(["systematic", str(code)])
+    syscode = tmp_path / "sys.alist"
+    syscode.write_text(sysal)
+    msgs = np.random.default_rng(0).integers(0, 2, size=(3, 8), dtype=np.uint8)
+    inp = tmp_path / "msgs.bin"
+    msgs.tofile(inp)
+    out = tmp_path / "cw.bin"
+    run_cli(["encode", str(syscode), str(inp), str(out)])
+    cw = np.fromfile(out, dtype=np.uint8).reshape(3, 16)
+    hd = SparseMatrix.from_alist(sysal).to_dense().astype(int)
+    assert not ((cw.astype(int) @ hd.T) & 1).any()
+    # punctured variant keeps the first 3/4
+    outp = tmp_path / "cwp.bin"
+    run_cli(["encode", str(syscode), str(inp), str(outp), "1,1,1,0"])
+    cwp = np.fromfile(outp, dtype=np.uint8).reshape(3, 12)
+    np.testing.assert_array_equal(cwp, cw[:, :12])
+
+
+def test_cli_ber(tmp_path):
+    alist = run_cli(["mackay-neal", "16", "32", "6", "3", "44", "--uniform"])
+    code = tmp_path / "code.alist"
+    code.write_text(alist)
+    sysal = run_cli(["systematic", str(code)])
+    syscode = tmp_path / "sys.alist"
+    syscode.write_text(sysal)
+    results = tmp_path / "results.txt"
+    out = run_cli(
+        [
+            "ber",
+            str(syscode),
+            "--decoder",
+            "Phif32",
+            "--min-ebn0",
+            "4.0",
+            "--max-ebn0",
+            "5.0",
+            "--step-ebn0",
+            "1.0",
+            "--frame-errors",
+            "4",
+            "--max-iter",
+            "20",
+            "--batch-size",
+            "32",
+            "--output-file",
+            str(results),
+        ]
+    )
+    assert "Eb/N0" in out
+    lines = results.read_text().splitlines()
+    assert len(lines) == 4  # 2 header lines + 2 Eb/N0 points
+    assert lines[2].strip().startswith("4.00")
+    assert lines[3].strip().startswith("5.00")
