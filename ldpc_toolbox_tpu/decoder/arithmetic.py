@@ -81,10 +81,13 @@ def i8_correction_table() -> np.ndarray:
     return table
 
 
-def _loo_sign(x, mask):
+def _loo_sign(x, mask_e):
     """Leave-one-out sign parity: for each slot, XOR of the signs of all
-    *other* valid slots. Returns +-1 in float32 (cast by callers)."""
-    neg = (x < 0) & mask
+    *other* valid slots (mask_e=None means all slots valid). Returns +-1
+    int32."""
+    neg = x < 0
+    if mask_e is not None:
+        neg = neg & mask_e
     total_par = (
         jnp.sum(neg, axis=-2, keepdims=True, dtype=jnp.int32) & 1
     )
@@ -122,11 +125,11 @@ class Arithmetic:
 
     # -- variable rule (arithmetic.rs:140-156) -----------------------------
 
-    def var_update(self, input_llr, c2v, mask):
-        """input_llr (n, B); c2v (n, d, B) masked. Returns (v2c, new_llr)."""
-        total = input_llr + jnp.sum(
-            jnp.where(mask[..., None], c2v, 0), axis=1
-        )
+    def var_update(self, input_llr, c2v, mask=None):
+        """input_llr (n, B); c2v (n, d, B). mask=None means every slot is a
+        real edge (compact layout). Returns (v2c, new_llr)."""
+        inc = c2v if mask is None else jnp.where(mask[..., None], c2v, 0)
+        total = input_llr + jnp.sum(inc, axis=1)
         v2c = total[:, None, :] - c2v
         return v2c, total
 
@@ -150,10 +153,11 @@ class PhiArithmetic(Arithmetic):
         x = jnp.maximum(x, jnp.asarray(self.MIN_X, self.dtype))
         return -jnp.log(jnp.tanh(0.5 * x))
 
-    def check_messages(self, x, mask):
-        mask_e = mask[..., None]
+    def check_messages(self, x, mask=None):
+        mask_e = None if mask is None else mask[..., None]
         phi_x = self._phi(jnp.abs(x))
-        phi_sum = jnp.sum(jnp.where(mask_e, phi_x, 0), axis=1, keepdims=True)
+        inc = phi_x if mask_e is None else jnp.where(mask_e, phi_x, 0)
+        phi_sum = jnp.sum(inc, axis=1, keepdims=True)
         y = self._phi(phi_sum - phi_x)
         return (_loo_sign(x, mask_e).astype(self.dtype)) * y
 
@@ -168,11 +172,11 @@ class TanhArithmetic(Arithmetic):
             clamp = 18.0 if dtype == jnp.float64 else 9.0
         self.clamp = clamp
 
-    def check_messages(self, x, mask):
-        mask_e = mask[..., None]
+    def check_messages(self, x, mask=None):
         c = jnp.asarray(self.clamp, self.dtype)
         t = jnp.tanh(jnp.clip(0.5 * x, -c, c))
-        t = jnp.where(mask_e, t, jnp.asarray(1.0, self.dtype))
+        if mask is not None:
+            t = jnp.where(mask[..., None], t, jnp.asarray(1.0, self.dtype))
         # exclusive prefix/suffix products give the product over all other
         # slots without dividing (tanh can be 0)
         ones = jnp.ones_like(t[:, :1])
@@ -199,20 +203,34 @@ class MinstarApproxArithmetic(Arithmetic):
             jnp.minimum(acc, v) - jnp.log1p(jnp.exp(-jnp.abs(acc - v))), 0.0
         )
 
-    def check_messages(self, x, mask):
+    def check_messages(self, x, mask=None):
         rows, d, batch = x.shape
-        mask_e = mask[..., None]
+        mask_e = None if mask is None else mask[..., None]
         mag = jnp.abs(x)
         acc = jnp.zeros_like(x)
-        cnt = jnp.zeros((rows, d, 1), dtype=jnp.int32)
-        notk = ~jnp.eye(d, dtype=bool)  # (k, j): j != k
-        for k in range(d):
-            vk = mag[:, k : k + 1, :]  # (rows, 1, B)
-            elig = (mask[:, k : k + 1] & notk[k][None, :])[..., None]
-            first = elig & (cnt == 0)
-            folded = self._fold_op(acc, vk)
-            acc = jnp.where(first, vk, jnp.where(elig, folded, acc))
-            cnt = cnt + elig.astype(jnp.int32)
+        notk = ~np.eye(d, dtype=bool)  # (k, j): j != k
+        if mask is None:
+            # compact layout: fold order is static — slot j's fold starts
+            # with the first k != j and continues in adjacency order
+            started = np.zeros((d,), dtype=bool)
+            for k in range(d):
+                vk = mag[:, k : k + 1, :]
+                sel = jnp.asarray(notk[k])[None, :, None]
+                first = jnp.asarray(notk[k] & ~started)[None, :, None]
+                folded = self._fold_op(acc, vk)
+                acc = jnp.where(first, vk, jnp.where(sel, folded, acc))
+                started |= notk[k]
+        else:
+            cnt = jnp.zeros((rows, d, 1), dtype=jnp.int32)
+            for k in range(d):
+                vk = mag[:, k : k + 1, :]
+                elig = (mask[:, k : k + 1] & jnp.asarray(notk[k])[None, :])[
+                    ..., None
+                ]
+                first = elig & (cnt == 0)
+                folded = self._fold_op(acc, vk)
+                acc = jnp.where(first, vk, jnp.where(elig, folded, acc))
+                cnt = cnt + elig.astype(jnp.int32)
         return (_loo_sign(x, mask_e).astype(self.dtype)) * acc
 
 
@@ -226,10 +244,12 @@ class MinSumArithmetic(Arithmetic):
         super().__init__(dtype)
         self.scale = scale
 
-    def check_messages(self, x, mask):
-        mask_e = mask[..., None]
+    def check_messages(self, x, mask=None):
+        mask_e = None if mask is None else mask[..., None]
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
-        mag = jnp.where(mask_e, jnp.abs(x), big)
+        mag = jnp.abs(x)
+        if mask_e is not None:
+            mag = jnp.where(mask_e, mag, big)
         min1 = jnp.min(mag, axis=1, keepdims=True)
         idx1 = jnp.argmin(mag, axis=1, keepdims=True)
         d = x.shape[1]
@@ -256,12 +276,12 @@ class AminstarArithmetic(Arithmetic):
             + jnp.log1p(jnp.exp(-(a + b)))
         )
 
-    def check_messages(self, x, mask):
+    def check_messages(self, x, mask=None):
         rows, d, batch = x.shape
-        mask_e = mask[..., None]
+        mask_e = None if mask is None else mask[..., None]
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
         mag = jnp.abs(x)
-        masked_mag = jnp.where(mask_e, mag, big)
+        masked_mag = mag if mask_e is None else jnp.where(mask_e, mag, big)
         argmin = jnp.argmin(masked_mag, axis=1)  # (rows, B) first-min
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)
@@ -273,7 +293,9 @@ class AminstarArithmetic(Arithmetic):
         cnt = jnp.zeros((rows, 1, batch), dtype=jnp.int32)
         for k in range(d):
             vk = mag[:, k : k + 1, :]
-            elig = mask[:, k : k + 1, None] & ~onehot[:, k : k + 1, :]
+            elig = ~onehot[:, k : k + 1, :]
+            if mask is not None:
+                elig = mask[:, k : k + 1, None] & elig
             first = elig & (cnt == 0)
             folded = self._minstar_full(acc, vk)
             acc = jnp.where(first, vk, jnp.where(elig, folded, acc))
@@ -342,15 +364,19 @@ class _I8Base(Arithmetic):
 
     # -- variable rule with optional clips (arithmetic.rs:622-654) ---------
 
-    def var_update(self, input_llr, c2v, mask):
-        deg = jnp.sum(mask, axis=1, dtype=jnp.int32)  # (n,)
+    def var_update(self, input_llr, c2v, mask=None):
         inp = input_llr
         if self.deg1_clip:
-            clipped = jnp.clip(input_llr, -116, 116)
-            inp = jnp.where((deg == 1)[:, None], clipped, input_llr)
-        total = inp + jnp.sum(
-            jnp.where(mask[..., None], c2v, 0), axis=1, dtype=jnp.int32
-        )
+            if mask is None:
+                # compact layout: degree is the static slot count
+                if c2v.shape[1] == 1:
+                    inp = jnp.clip(input_llr, -116, 116)
+            else:
+                deg = jnp.sum(mask, axis=1, dtype=jnp.int32)  # (n,)
+                clipped = jnp.clip(input_llr, -116, 116)
+                inp = jnp.where((deg == 1)[:, None], clipped, input_llr)
+        inc = c2v if mask is None else jnp.where(mask[..., None], c2v, 0)
+        total = inp + jnp.sum(inc, axis=1, dtype=jnp.int32)
         if self.jones:
             total = _clip127(total)
         v2c = _clip127(total[:, None, :] - c2v)
@@ -372,22 +398,36 @@ class MinstarApproxI8Arithmetic(_I8Base):
     ``max(min(acc,v) - table[|acc-v|], 0)``; optional partial hard limit on
     the signed output."""
 
-    def check_messages(self, x, mask):
+    def check_messages(self, x, mask=None):
         rows, d, batch = x.shape
-        mask_e = mask[..., None]
+        mask_e = None if mask is None else mask[..., None]
         mag = jnp.abs(x)
         acc = jnp.zeros_like(x)
-        cnt = jnp.zeros((rows, d, 1), dtype=jnp.int32)
-        notk = ~jnp.eye(d, dtype=bool)
-        for k in range(d):
-            vk = mag[:, k : k + 1, :]
-            elig = (mask[:, k : k + 1] & notk[k][None, :])[..., None]
-            first = elig & (cnt == 0)
-            folded = jnp.maximum(
+        notk = ~np.eye(d, dtype=bool)
+
+        def fold(acc, vk):
+            return jnp.maximum(
                 jnp.minimum(acc, vk) - self._lookup(jnp.abs(acc - vk)), 0
             )
-            acc = jnp.where(first, vk, jnp.where(elig, folded, acc))
-            cnt = cnt + elig.astype(jnp.int32)
+
+        if mask is None:
+            started = np.zeros((d,), dtype=bool)
+            for k in range(d):
+                vk = mag[:, k : k + 1, :]
+                sel = jnp.asarray(notk[k])[None, :, None]
+                first = jnp.asarray(notk[k] & ~started)[None, :, None]
+                acc = jnp.where(first, vk, jnp.where(sel, fold(acc, vk), acc))
+                started |= notk[k]
+        else:
+            cnt = jnp.zeros((rows, d, 1), dtype=jnp.int32)
+            for k in range(d):
+                vk = mag[:, k : k + 1, :]
+                elig = (mask[:, k : k + 1] & jnp.asarray(notk[k])[None, :])[
+                    ..., None
+                ]
+                first = elig & (cnt == 0)
+                acc = jnp.where(first, vk, jnp.where(elig, fold(acc, vk), acc))
+                cnt = cnt + elig.astype(jnp.int32)
         out = _loo_sign(x, mask_e) * acc
         if self.hard_limit:
             out = _partial_hard_limit(out)
@@ -406,11 +446,11 @@ class AminstarI8Arithmetic(_I8Base):
             0,
         )
 
-    def check_messages(self, x, mask):
+    def check_messages(self, x, mask=None):
         rows, d, batch = x.shape
-        mask_e = mask[..., None]
+        mask_e = None if mask is None else mask[..., None]
         mag = jnp.abs(x)
-        masked_mag = jnp.where(mask_e, mag, 128)
+        masked_mag = mag if mask_e is None else jnp.where(mask_e, mag, 128)
         argmin = jnp.argmin(masked_mag, axis=1)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)
@@ -420,7 +460,9 @@ class AminstarI8Arithmetic(_I8Base):
         cnt = jnp.zeros((rows, 1, batch), dtype=jnp.int32)
         for k in range(d):
             vk = mag[:, k : k + 1, :]
-            elig = mask[:, k : k + 1, None] & ~onehot[:, k : k + 1, :]
+            elig = ~onehot[:, k : k + 1, :]
+            if mask is not None:
+                elig = mask[:, k : k + 1, None] & elig
             first = elig & (cnt == 0)
             folded = self._minstar_full(acc, vk)
             acc = jnp.where(first, vk, jnp.where(elig, folded, acc))

@@ -33,7 +33,24 @@ import numpy as np
 
 from ..sparse import SparseMatrix
 
-__all__ = ["DecodeGraph", "extract_layers"]
+__all__ = ["DecodeGraph", "Bucket", "extract_layers"]
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """A group of same-degree nodes in the compact bucketed layout.
+
+    ``edges[i, s]`` is the flat message-array index of node i's s-th edge
+    in the *opposite* side's message array; ``ids`` are original node
+    indices (row ``i`` of this bucket is node ``ids[i]``). ``vars`` is only
+    set for check buckets: the bucket-reordered variable index per slot,
+    used for the syndrome check.
+    """
+
+    degree: int
+    ids: np.ndarray  # (count,) original node index
+    edges: np.ndarray  # (count, degree) flat index into the opposite array
+    vars: np.ndarray = None  # (count, degree), check buckets only
 
 
 @dataclass(frozen=True)
@@ -61,6 +78,16 @@ class DecodeGraph:
 
     # layered schedule: (num_layers, rows_per_layer) row ids; padding -> m
     layers: np.ndarray = field(default=None)
+
+    # -- compact bucketed layout (flooding fast path) ----------------------
+    # Variables and checks are each reordered by (degree, original index);
+    # messages then live in exact (num_edges, batch) arrays — v2c in
+    # variable-major bucket order, c2v in check-major bucket order — with
+    # no padding slots, no masks and no sentinel rows.
+    var_buckets: tuple = field(default=None)  # tuple[Bucket]
+    chk_buckets: tuple = field(default=None)  # tuple[Bucket]
+    var_order: np.ndarray = field(default=None)  # (n,) original id per new pos
+    inv_var_order: np.ndarray = field(default=None)  # (n,) new pos per orig id
 
     @classmethod
     def from_sparse(
@@ -98,6 +125,62 @@ class DecodeGraph:
 
         layers = extract_layers(rows, cols, m) if build_layers else None
 
+        # -- compact bucketed layout --------------------------------------
+        def order_by_degree(adj):
+            groups: dict[int, list[int]] = {}
+            for i, a in enumerate(adj):
+                groups.setdefault(len(a), []).append(i)
+            order = [i for d in sorted(groups) for i in groups[d]]
+            return groups, np.asarray(order, np.int64)
+
+        var_groups, var_order = order_by_degree(cols)
+        chk_groups, chk_order = order_by_degree(rows)
+        inv_var_order = np.empty(n, np.int64)
+        inv_var_order[var_order] = np.arange(n)
+
+        # flat edge ids in each message array
+        v2c_id = {}  # (c, v) -> index in the v2c array
+        off = 0
+        for d in sorted(var_groups):
+            for v in var_groups[d]:
+                for s, c in enumerate(cols[v]):
+                    v2c_id[(c, v)] = off + s
+                off += d
+        c2v_id = {}  # (c, v) -> index in the c2v array
+        off = 0
+        for d in sorted(chk_groups):
+            for c in chk_groups[d]:
+                for t, v in enumerate(rows[c]):
+                    c2v_id[(c, v)] = off + t
+                off += d
+
+        var_buckets = []
+        for d in sorted(var_groups):
+            ids = np.asarray(var_groups[d], np.int64)
+            edges = np.empty((len(ids), max(d, 1)), np.int32)
+            if d == 0:
+                edges = np.zeros((len(ids), 0), np.int32)
+            else:
+                for i, v in enumerate(var_groups[d]):
+                    for s, c in enumerate(cols[v]):
+                        edges[i, s] = c2v_id[(c, v)]
+            var_buckets.append(Bucket(degree=d, ids=ids, edges=edges))
+
+        chk_buckets = []
+        for d in sorted(chk_groups):
+            ids = np.asarray(chk_groups[d], np.int64)
+            if d == 0:
+                edges = np.zeros((len(ids), 0), np.int32)
+                vars_ = np.zeros((len(ids), 0), np.int32)
+            else:
+                edges = np.empty((len(ids), d), np.int32)
+                vars_ = np.empty((len(ids), d), np.int32)
+                for i, c in enumerate(chk_groups[d]):
+                    for t, v in enumerate(rows[c]):
+                        edges[i, t] = v2c_id[(c, v)]
+                        vars_[i, t] = inv_var_order[v]
+            chk_buckets.append(Bucket(degree=d, ids=ids, edges=edges, vars=vars_))
+
         return cls(
             m=m,
             n=n,
@@ -111,6 +194,10 @@ class DecodeGraph:
             var_edges=var_edges,
             var_mask=var_mask,
             layers=layers,
+            var_buckets=tuple(var_buckets),
+            chk_buckets=tuple(chk_buckets),
+            var_order=var_order,
+            inv_var_order=inv_var_order,
         )
 
 
