@@ -107,6 +107,22 @@ class Arithmetic:
     def __init__(self, dtype=jnp.float32):
         self.dtype = dtype
 
+    # dtype the message arrays are *stored* in (HBM traffic); computation
+    # may widen after each gather (int8 storage / int32 compute for the i8
+    # family)
+    @property
+    def storage_dtype(self):
+        return self.dtype
+
+    @property
+    def compute_dtype(self):
+        return self.dtype
+
+    # storage dtype of the layered schedule's variable posteriors Qv
+    @property
+    def var_llr_storage_dtype(self):
+        return self.dtype
+
     # -- LLR domain --------------------------------------------------------
 
     def quantize(self, llr):
@@ -335,6 +351,21 @@ class _I8Base(Arithmetic):
         self.hard_limit = hard_limit
         self.deg1_clip = deg1_clip
         self.table = jnp.asarray(i8_correction_table())
+
+    # messages are int8-valued: store them as int8 (4x less HBM traffic),
+    # widen to int32 lanes after each gather
+    @property
+    def storage_dtype(self):
+        return jnp.int8
+
+    @property
+    def compute_dtype(self):
+        return jnp.int32
+
+    # VarLlr = i16 (arithmetic.rs:684-688)
+    @property
+    def var_llr_storage_dtype(self):
+        return jnp.int16
 
     # -- LLR domain --------------------------------------------------------
 

@@ -92,6 +92,9 @@ def flooding_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
         q[var_starts[i] : var_starts[i + 1]] for i in range(len(vb))
     ]
 
+    store = arithmetic.storage_dtype
+    compute = arithmetic.compute_dtype
+
     # first variable messages are the channel LLRs (flooding.rs:93-99)
     v2c0 = jnp.concatenate(
         [
@@ -99,7 +102,7 @@ def flooding_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
             for i, b in enumerate(vb)
             if b.degree > 0 and len(b.ids)
         ]
-    )
+    ).astype(store)
 
     chk_edge_idx = [jnp.asarray(b.edges.reshape(-1)) for b in cb]
     var_edge_idx = [jnp.asarray(b.edges.reshape(-1)) for b in vb]
@@ -111,9 +114,15 @@ def flooding_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
         for i, b in enumerate(cb):
             if b.degree == 0 or len(b.ids) == 0:
                 continue
-            x = v2c[chk_edge_idx[i]].reshape(len(b.ids), b.degree, B)
+            x = (
+                v2c[chk_edge_idx[i]]
+                .reshape(len(b.ids), b.degree, B)
+                .astype(compute)
+            )
             out = arithmetic.check_messages(x)
-            c2v_parts.append(out.reshape(len(b.ids) * b.degree, B))
+            c2v_parts.append(
+                out.reshape(len(b.ids) * b.degree, B).astype(store)
+            )
         c2v = jnp.concatenate(c2v_parts)
 
         # variable phase
@@ -125,9 +134,15 @@ def flooding_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
             if b.degree == 0:
                 llr_parts.append(q_parts[i])
                 continue
-            y = c2v[var_edge_idx[i]].reshape(len(b.ids), b.degree, B)
+            y = (
+                c2v[var_edge_idx[i]]
+                .reshape(len(b.ids), b.degree, B)
+                .astype(compute)
+            )
             v2c_b, llr_b = arithmetic.var_update(q_parts[i], y)
-            v2c_parts.append(v2c_b.reshape(len(b.ids) * b.degree, B))
+            v2c_parts.append(
+                v2c_b.reshape(len(b.ids) * b.degree, B).astype(store)
+            )
             llr_parts.append(llr_b)
         v2c_new = jnp.concatenate(v2c_parts)
         out_llr = jnp.concatenate(llr_parts)

@@ -50,19 +50,27 @@ def layered_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
     hard0 = llr_t <= 0
     ok0 = _check_satisfied(graph, hard0, chk_vars)
 
+    store = arithmetic.storage_dtype
+    compute = arithmetic.compute_dtype
+    qv_store = arithmetic.var_llr_storage_dtype
+
     q = arithmetic.quantize(llr_t)
-    qv0 = arithmetic.llr_to_var_llr(q)
+    qv0 = arithmetic.llr_to_var_llr(q).astype(qv_store)
     # Qv with a sentinel variable row (absorbs padded-slot scatters)
     qv0 = jnp.concatenate([qv0, jnp.zeros((1, B), qv0.dtype)])
     # Rcv with a sentinel check row (absorbs padded-layer rows)
-    rcv0 = jnp.zeros((m + 1, dc, B), q.dtype)
+    rcv0 = jnp.zeros((m + 1, dc, B), store)
 
     def layer_step(carry, rows):
         qv, rcv = carry
         vars_rd = chk_vars_ext[rows]  # (R, dc)
         mask_rd = chk_mask_ext[rows]  # (R, dc)
-        qv_g = qv[vars_rd.reshape(-1)].reshape(*vars_rd.shape, B)
-        rold = rcv[rows]
+        qv_g = (
+            qv[vars_rd.reshape(-1)]
+            .reshape(*vars_rd.shape, B)
+            .astype(compute)
+        )
+        rold = rcv[rows].astype(compute)
         x = arithmetic.layered_x(qv_g, rold)
         rnew = arithmetic.check_messages(x, mask_rd)
         rnew = jnp.where(mask_rd[..., None], rnew, rold)
@@ -73,7 +81,7 @@ def layered_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
         qv = qv.at[vars_rd.reshape(-1)].add(
             delta.reshape(-1, B).astype(qv.dtype)
         )
-        rcv = rcv.at[rows].set(rnew)
+        rcv = rcv.at[rows].set(rnew.astype(store))
         return (qv, rcv), None
 
     def sweep(qv, rcv):
@@ -83,7 +91,7 @@ def layered_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
     def body(state):
         it, qv, rcv, _hard, converged, iters, frozen = state
         qv, rcv = sweep(qv, rcv)
-        out_llr = arithmetic.var_llr_to_llr(qv[:n])
+        out_llr = arithmetic.var_llr_to_llr(qv[:n].astype(compute))
         hard = arithmetic.hard_decision(out_llr)
         ok = _check_satisfied(graph, hard, chk_vars)
         newly = ok & ~converged
