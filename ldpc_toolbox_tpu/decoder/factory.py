@@ -71,6 +71,9 @@ _FLOODING_ARITHS: dict[str, Callable[[], Arithmetic]] = {
     "Aminstarf32": lambda: AminstarArithmetic(jnp.float32),
     # framework extensions
     "Minsumf32": lambda: MinSumArithmetic(jnp.float32),
+    "Minsumbf16": lambda: MinSumArithmetic(
+        jnp.float32, storage=jnp.bfloat16
+    ),
     **_i8_combos("Minstarapproxi8", MinstarApproxI8Arithmetic),
     **_i8_combos("Aminstari8", AminstarI8Arithmetic),
 }
