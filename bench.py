@@ -24,15 +24,16 @@ CACHE = pathlib.Path(__file__).parent / ".bench_baseline.json"
 CODE_NAME = "R1_2"
 EBN0_DB = 1.0
 MAX_ITERS = 30
-DECODER = "Minsumf32"
+DECODER = "Minsumbf16"
 
 
 def build(code_name: str):
     from ldpc_toolbox_tpu.codes.dvbs2 import Code
-    from ldpc_toolbox_tpu.decoder import DecodeGraph
+    from ldpc_toolbox_tpu.decoder.lifted import LiftedGraph, dvbs2_maps
 
     code = Code[code_name]
-    graph = DecodeGraph.from_sparse(code.h(), build_layers=False)
+    vm, cm, Z, nvg, ncg = dvbs2_maps(code)
+    graph = LiftedGraph.from_sparse(code.h(), vm, cm, Z, nvg, ncg)
     return code, graph
 
 
@@ -52,10 +53,22 @@ def measure(code, graph, batch: int, reps: int) -> float:
     import jax
 
     from ldpc_toolbox_tpu.decoder.factory import make_arithmetic
-    from ldpc_toolbox_tpu.decoder.flooding import flooding_decode
+    from ldpc_toolbox_tpu.decoder.lifted_flooding import lifted_flooding_decode
 
-    _, arith = make_arithmetic(DECODER)
-    fn = jax.jit(partial(flooding_decode, graph, arith, max_iterations=MAX_ITERS))
+    # fused Pallas path on TPU; interpreted kernels are far too slow on
+    # CPU, so the baseline floor uses the plane-gather fallback
+    fused = jax.default_backend() != "cpu"
+    _, arith = make_arithmetic(DECODER if fused else "Minsumf32")
+    fn = jax.jit(
+        partial(
+            lifted_flooding_decode,
+            graph,
+            arith,
+            max_iterations=MAX_ITERS,
+            fused=fused,
+            use_pallas=False,
+        )
+    )
     llrs = jax.device_put(make_llrs(code, batch))
     int(fn(llrs)["iterations"][0])  # compile + warm
     t0 = time.perf_counter()

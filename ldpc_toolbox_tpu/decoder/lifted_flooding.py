@@ -51,8 +51,18 @@ def lifted_flooding_decode(
     llrs,
     max_iterations: int,
     use_pallas=None,
+    fused: bool = False,
 ):
-    """Decode a (B, n) batch of channel LLRs on a lifted graph."""
+    """Decode a (B, n) batch of channel LLRs on a lifted graph.
+
+    ``fused=True`` runs the Pallas fused phase kernels (ops/fused_bp.py):
+    messages stay lane-doubled in HBM and each phase is one kernel per
+    degree bucket — min-sum arithmetic only, float32, batch a multiple of
+    128. The default path uses the rolled plane gather + the generic
+    arithmetic (any of the 38 rules).
+    """
+    if fused:
+        return _fused_minsum_decode(lg, arithmetic, llrs, max_iterations)
     Z = lg.Z
     B = llrs.shape[0]
     vb, cb = lg.var_buckets, lg.chk_buckets
@@ -194,6 +204,169 @@ def lifted_flooding_decode(
     codeword = hard_planes.reshape(lg.num_var_groups * Z, B)[
         jnp.asarray(inv)
     ]
+    iters = jnp.where(converged, iters, max_iterations)
+    return {
+        "codeword": codeword.T.astype(jnp.uint8),
+        "iterations": iters,
+        "success": converged,
+    }
+
+
+def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int):
+    """Min-sum flooding via the fused Pallas phase kernels."""
+    from ..ops.fused_bp import (
+        double_planes,
+        fused_check_minsum,
+        fused_var_update,
+        poke_doubled,
+    )
+    from ..ops.plane_gather import plane_gather_reference
+
+    Z = lg.Z
+    B = llrs.shape[0]
+    assert B % 128 == 0, "fused path needs batch as a multiple of 128"
+    vb, cb = lg.var_buckets, lg.chk_buckets
+    scale = getattr(arithmetic, "scale", 1.0)
+    # the kernels run entirely in the storage dtype (f32, or bf16 for
+    # Minsumbf16 — min/sign are exact in bf16, sums lose ~ulp precision)
+    dtype = arithmetic.storage_dtype
+    assert jnp.issubdtype(dtype, jnp.floating), "fused path is float-only"
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    col_of = lg.var_cols[lg.var_group_order]  # (VG, Z)
+    llr_planes = llrs.T[jnp.asarray(col_of.reshape(-1))].reshape(
+        lg.num_var_groups, Z, B
+    ).astype(dtype)
+
+    vg_starts = np.cumsum([0] + [len(b.groups) for b in vb])
+    q_parts = [
+        llr_planes[vg_starts[i] : vg_starts[i + 1]] for i in range(len(vb))
+    ]
+
+    def check_satisfied(hard):
+        bits = hard.astype(jnp.int8)
+        bad = None
+        for i, b in enumerate(cb):
+            if b.degree == 0 or len(b.groups) == 0:
+                continue
+            g = plane_gather_reference(bits, b.var_group_pos, b.shifts)
+            for vm_posn, cm_posn, lanes_c, lanes_v in lg.missing:
+                offs = _bucket_offsets(cb)
+                if offs[i] <= cm_posn < offs[i + 1]:
+                    rel = cm_posn - offs[i]
+                    g = g.at[
+                        rel // b.degree, rel % b.degree, jnp.asarray(lanes_c)
+                    ].set(0)
+            syn = (jnp.sum(g, axis=1, dtype=jnp.int32) & 1).astype(bool)
+            any_bad = jnp.any(syn, axis=(0, 1))
+            bad = any_bad if bad is None else (bad | any_bad)
+        return jnp.ones(B, bool) if bad is None else ~bad
+
+    hard0 = llr_planes <= 0
+    ok0 = check_satisfied(hard0)
+
+    def poke_v2c(v2c_d):
+        for vm_posn, _cm, _lanes_c, lanes_v in lg.missing:
+            v2c_d = poke_doubled(v2c_d, vm_posn, lanes_v, big)
+        return v2c_d
+
+    def poke_c2v(c2v_d):
+        for _vm, cm_posn, lanes_c, _lv in lg.missing:
+            c2v_d = poke_doubled(c2v_d, cm_posn, lanes_c, 0)
+        return c2v_d
+
+    v2c0 = jnp.concatenate(
+        [
+            jnp.repeat(q_parts[i], b.degree, axis=0)
+            for i, b in enumerate(vb)
+            if b.degree > 0 and len(b.groups)
+        ]
+    )
+    v2c0_d = poke_v2c(double_planes(v2c0))
+
+    from ..ops.fused_bp import MAX_FUSED_DEGREE
+
+    def gather_jnp(src_d, side):
+        """Unfused fallback for buckets too wide for VMEM: gather rolled
+        planes from the doubled array with XLA's gather."""
+        G, d = side.planes.shape
+        lanes = (
+            np.arange(Z)[None, None, :] + Z - side.shifts[:, :, None]
+        )  # index into the doubled axis: Z - shift + l
+        flat = side.planes[:, :, None] * (2 * Z + 8) + lanes
+        out = src_d.reshape(-1, B)[jnp.asarray(flat.reshape(-1))]
+        return out.reshape(G, d, Z, B)
+
+    def iterate(v2c_d):
+        c2v_parts = []
+        for b in cb:
+            if b.degree == 0 or len(b.groups) == 0:
+                continue
+            if b.degree <= MAX_FUSED_DEGREE:
+                c2v_parts.append(
+                    fused_check_minsum(
+                        v2c_d, b.planes, b.shifts,
+                        len(b.groups), b.degree, Z, B, scale=scale,
+                    )
+                )
+            else:
+                x = gather_jnp(v2c_d, b)
+                G, d = len(b.groups), b.degree
+                out = arithmetic.check_messages(x.reshape(G, d, Z * B))
+                c2v_parts.append(
+                    double_planes(out.reshape(G * d, Z, B))
+                )
+        c2v_d = poke_c2v(jnp.concatenate(c2v_parts))
+
+        v2c_parts = []
+        post_parts = []
+        for i, b in enumerate(vb):
+            if len(b.groups) == 0:
+                continue
+            if b.degree == 0:
+                post_parts.append(q_parts[i])
+                continue
+            if b.degree <= MAX_FUSED_DEGREE:
+                v2c_b, post_b = fused_var_update(
+                    c2v_d, b.planes, b.shifts, q_parts[i],
+                    len(b.groups), b.degree, Z, B,
+                )
+            else:
+                y = gather_jnp(c2v_d, b)
+                G, d = len(b.groups), b.degree
+                v2c_blk, post_b = arithmetic.var_update(
+                    q_parts[i].reshape(G, Z * B), y.reshape(G, d, Z * B)
+                )
+                v2c_b = double_planes(v2c_blk.reshape(G * d, Z, B))
+                post_b = post_b.reshape(G, Z, B)
+            v2c_parts.append(v2c_b)
+            post_parts.append(post_b)
+        v2c_d = poke_v2c(jnp.concatenate(v2c_parts))
+        return v2c_d, jnp.concatenate(post_parts)
+
+    def body(state):
+        it, v2c_d, _hard, converged, iters, frozen = state
+        v2c_d, post = iterate(v2c_d)
+        hard = post <= 0
+        ok = check_satisfied(hard)
+        newly = ok & ~converged
+        it = it + 1
+        iters = jnp.where(newly, it, iters)
+        frozen = jnp.where(newly[None, None, :], hard, frozen)
+        return (it, v2c_d, hard, converged | ok, iters, frozen)
+
+    def cond(state):
+        return (state[0] < max_iterations) & ~jnp.all(state[3])
+
+    init = (jnp.int32(0), v2c0_d, hard0, ok0, jnp.zeros(B, jnp.int32), hard0)
+    it, _v, hard_final, converged, iters, frozen = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    hard_planes = jnp.where(converged[None, None, :], frozen, hard_final)
+    inv = np.empty(lg.n, np.int64)
+    inv[col_of.reshape(-1)] = np.arange(lg.num_var_groups * Z)
+    codeword = hard_planes.reshape(lg.num_var_groups * Z, B)[jnp.asarray(inv)]
     iters = jnp.where(converged, iters, max_iterations)
     return {
         "codeword": codeword.T.astype(jnp.uint8),

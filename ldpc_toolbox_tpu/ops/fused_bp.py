@@ -1,0 +1,292 @@
+"""Fused belief-propagation phase kernels (Pallas TPU).
+
+One kernel invocation per (node-group, batch-tile) grid step performs the
+entire half-iteration for that group:
+
+  * d double-buffered DMAs fetch the incident message planes from HBM
+    (contiguous (Z+8, Bt) windows of a lane-doubled source — the circulant
+    roll is an 8-aligned window plus a <=7-row pltpu.roll residual);
+  * the check (min-sum) or variable (sum-minus-own) rule runs on the
+    stacked planes in VMEM;
+  * outputs write back in lane-doubled form, so the *next* phase can DMA
+    rolled windows directly — message data makes exactly one HBM round
+    trip per phase.
+
+Compared with the unfused path (XLA gather at its ~230 GB/s ceiling plus
+several materialized elementwise passes), this holds per-iteration traffic
+at ~6x the raw message bytes and runs at copy bandwidth.
+
+Shapes: ``src`` (P, 2Z+8, B) lane-doubled planes; ``planes/shifts`` (G*d,)
+int32; outputs (G*d, 2Z+8, B) doubled planes (check kernel) plus
+(G, Z, B) posteriors (variable kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "double_planes",
+    "poke_doubled",
+    "fused_check_minsum",
+    "fused_var_update",
+]
+
+
+def _align_of(dtype) -> int:
+    """Sublane tiling of the dtype: dynamic window offsets must be
+    multiples of this (8 for 4-byte, 16 for 2-byte, 32 for 1-byte)."""
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
+def double_planes(x):
+    """(P, Z, B) -> (P, 2Z+align, B) with x[p, i] = plane[i % Z]."""
+    a = _align_of(x.dtype)
+    return jnp.concatenate([x, x, x[:, :a]], axis=1)
+
+
+def poke_doubled(x, plane, lanes, value):
+    """Set lanes of one plane (all doubled copies) to a value."""
+    a = _align_of(x.dtype)
+    Z = (x.shape[1] - a) // 2
+    lanes = np.asarray(lanes)
+    all_lanes = np.concatenate(
+        [lanes, lanes + Z, lanes[lanes < a] + 2 * Z]
+    )
+    return x.at[plane, jnp.asarray(all_lanes)].set(value)
+
+
+def _write_doubled(out_ref, t, plane, Z, align):
+    plane = plane.astype(out_ref.dtype)
+    out_ref[0, t, :Z, :] = plane
+    out_ref[0, t, Z : 2 * Z, :] = plane
+    out_ref[0, t, 2 * Z :, :] = plane[:align, :]
+
+
+def _phase_kernel_body(
+    planes_ref, shifts_ref, src_ref, scratch, sems, d, Z, Bt, nbt, total,
+    align
+):
+    """Shared DMA pipeline: returns the stacked (d, Z, Bt) input block."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    bt = pl.program_id(1)
+    idx = g * nbt + bt
+
+    def copies(idx2, slot):
+        g2 = idx2 // nbt
+        bt2 = idx2 % nbt
+        out = []
+        for t in range(d):
+            e = g2 * d + t
+            start = Z - shifts_ref[e]
+            hi = pl.multiple_of((start // align) * align, align)
+            out.append(
+                pltpu.make_async_copy(
+                    src_ref.at[
+                        planes_ref[e],
+                        pl.ds(hi, Z + align),
+                        pl.ds(bt2 * Bt, Bt),
+                    ],
+                    scratch.at[slot, t],
+                    sems.at[slot, t],
+                )
+            )
+        return out
+
+    slot = idx % 2
+
+    @pl.when(idx == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(idx + 1 < total)
+    def _():
+        for c in copies(idx + 1, (idx + 1) % 2):
+            c.start()
+
+    for c in copies(idx, slot):
+        c.wait()
+
+    rolled = []
+    for t in range(d):
+        e = g * d + t
+        start = Z - shifts_ref[e]
+        lo = start - (start // align) * align
+        win = jax.lax.switch(
+            lo,
+            [
+                (
+                    lambda j=j, t=t: _static_roll(
+                        scratch, slot, t, j, Z, align
+                    )
+                )
+                for j in range(align)
+            ],
+        )
+        rolled.append(win[:Z, :])
+    return rolled
+
+
+def _static_roll(scratch, slot, t, j, Z, align):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = Z + align
+    val = scratch[slot, t, :, :]
+    if jnp.dtype(val.dtype).itemsize < 4:
+        # Mosaic's rotate is 32-bit only: narrow storage upcasts in VMEM
+        # (HBM traffic stays narrow; compute runs in f32)
+        val = val.astype(jnp.float32)
+    return pltpu.roll(val, (n - j) % n, 0)
+
+
+#: largest per-group degree the fused kernels can hold in VMEM at the
+#: minimum 128-lane batch tile; callers fall back to the unfused path for
+#: bigger buckets
+MAX_FUSED_DEGREE = 10
+
+
+def _pick_bt(d: int, B: int) -> int:
+    assert d <= MAX_FUSED_DEGREE, d
+    return 128 if B % 128 == 0 else B
+
+
+def _interpret() -> bool:
+    """Interpret the kernels off-TPU so the fused path stays testable on
+    the CPU mesh."""
+    return jax.default_backend() == "cpu"
+
+
+def fused_check_minsum(src_doubled, planes, shifts, G, d, Z, B, Bt=None, scale=1.0):
+    """Min-sum check update, fused: (P, 2Z+8, B) v2c -> (G*d, 2Z+8, B) c2v."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if Bt is None:
+        Bt = _pick_bt(d, B)
+    nbt = B // Bt
+    total = G * nbt
+    dtype = src_doubled.dtype
+    align = _align_of(dtype)
+    # python literal, not a traced value: pallas kernels cannot capture
+    # array constants
+    big = float(jnp.finfo(dtype).max)
+
+    def kernel(planes_ref, shifts_ref, src_ref, out_ref, scratch, sems):
+        rolled = _phase_kernel_body(
+            planes_ref, shifts_ref, src_ref, scratch, sems,
+            d, Z, Bt, nbt, total, align,
+        )
+        mags = [jnp.abs(x) for x in rolled]
+        negs = [x < 0 for x in rolled]
+        m1 = mags[0]
+        m2 = jnp.full_like(m1, big)
+        arg = jnp.zeros(m1.shape, jnp.int32)
+        par = negs[0]
+        for k in range(1, d):
+            mk = mags[k]
+            m2 = jnp.minimum(m2, jnp.maximum(m1, mk))
+            take = mk < m1
+            m1 = jnp.where(take, mk, m1)
+            arg = jnp.where(take, k, arg)
+            par = par ^ negs[k]
+        for t in range(d):
+            loo = jnp.where(arg == t, m2, m1)
+            if scale != 1.0:
+                loo = loo * jnp.asarray(scale, dtype)
+            out = jnp.where(par ^ negs[t], -loo, loo)
+            _write_doubled(out_ref, t, out, Z, align)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, nbt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, d, 2 * Z + align, Bt),
+            lambda g, bt, planes, shifts: (g, 0, 0, bt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, Z + align, Bt), dtype),
+            pltpu.SemaphoreType.DMA((2, d)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, d, 2 * Z + align, B), dtype),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(planes.reshape(-1), jnp.int32),
+        jnp.asarray(shifts.reshape(-1), jnp.int32),
+        src_doubled,
+    )
+    return out.reshape(G * d, 2 * Z + align, B)
+
+
+def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None):
+    """Variable update, fused: c2v planes + channel LLRs -> (v2c doubled,
+    posterior)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if Bt is None:
+        Bt = _pick_bt(d, B)
+    nbt = B // Bt
+    total = G * nbt
+    dtype = src_doubled.dtype
+    align = _align_of(dtype)
+
+    def kernel(planes_ref, shifts_ref, src_ref, q_ref, out_ref, post_ref,
+               scratch, sems):
+        rolled = _phase_kernel_body(
+            planes_ref, shifts_ref, src_ref, scratch, sems,
+            d, Z, Bt, nbt, total, align,
+        )
+        total_llr = q_ref[0]
+        for t in range(d):
+            total_llr = total_llr + rolled[t]
+        for t in range(d):
+            _write_doubled(out_ref, t, total_llr - rolled[t], Z, align)
+        post_ref[0] = total_llr.astype(post_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, nbt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, Z, Bt), lambda g, bt, p, s: (g, 0, bt)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, d, 2 * Z + align, Bt),
+                lambda g, bt, p, s: (g, 0, 0, bt),
+            ),
+            pl.BlockSpec((1, Z, Bt), lambda g, bt, p, s: (g, 0, bt)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, d, Z + align, Bt), dtype),
+            pltpu.SemaphoreType.DMA((2, d)),
+        ],
+    )
+    out, post = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, d, 2 * Z + align, B), dtype),
+            jax.ShapeDtypeStruct((G, Z, B), dtype),
+        ],
+        interpret=_interpret(),
+    )(
+        jnp.asarray(planes.reshape(-1), jnp.int32),
+        jnp.asarray(shifts.reshape(-1), jnp.int32),
+        src_doubled,
+        q_planes,
+    )
+    return out.reshape(G * d, 2 * Z + align, B), post

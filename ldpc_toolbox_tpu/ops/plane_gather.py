@@ -46,24 +46,53 @@ def _pallas_plane_gather(src, planes_flat, shifts_flat, Z, B, n_out):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(planes_ref, shifts_ref, src_ref, out_ref, scratch, sem0, sem1):
+    # The roll becomes a static-size dynamic-offset window into a
+    # lane-doubled copy of the source: doubled[p, i] = src[p, i % Z], so
+    # rolled(plane, shift) = doubled[plane, Z - shift : 2Z - shift].
+    # Mosaic requires dynamic offsets to be sublane-aligned (multiples of
+    # 8), so the DMA fetches the 8-aligned window extended by 8 rows and a
+    # static 8-way switch of pltpu.roll fixes the <=7-row residual.
+    doubled = jnp.concatenate([src, src, src[:, :8]], axis=1)
+
+    def kernel(planes_ref, shifts_ref, src_ref, out_ref, scratch, sems):
         g = pl.program_id(0)
-        plane = planes_ref[g]
-        shift = shifts_ref[g]
-        # Pallas slices need static sizes, so the roll uses a doubled
-        # buffer: scratch[i] = plane[i % Z] for i in [0, 2Z), and the
-        # rolled plane is the static-size window starting at Z - shift.
-        c0 = pltpu.make_async_copy(
-            src_ref.at[plane], scratch.at[pl.ds(0, Z)], sem0
+        n = pl.num_programs(0)
+
+        def dma(i, slot):
+            start = Z - shifts_ref[i]
+            hi = pl.multiple_of((start // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                src_ref.at[planes_ref[i], pl.ds(hi, Z + 8)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        slot = g % 2
+
+        # double buffering: the DMA for step g+1 flies while step g rolls
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < n)
+        def _():
+            dma(g + 1, (g + 1) % 2).start()
+
+        dma(g, slot).wait()
+        start = Z - shifts_ref[g]
+        lo = start - (start // 8) * 8  # 0..7 sublane residual
+        rolled = jax.lax.switch(
+            lo,
+            [
+                (
+                    lambda j=j: pltpu.roll(
+                        scratch[slot, :, :], (Z + 8 - j) % (Z + 8), 0
+                    )
+                )
+                for j in range(8)
+            ],
         )
-        c1 = pltpu.make_async_copy(
-            src_ref.at[plane], scratch.at[pl.ds(Z, Z)], sem1
-        )
-        c0.start()
-        c1.start()
-        c0.wait()
-        c1.wait()
-        out_ref[0, :, :] = scratch[pl.ds(Z - shift, Z), :]
+        out_ref[0, :, :] = rolled[:Z, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -75,9 +104,8 @@ def _pallas_plane_gather(src, planes_flat, shifts_flat, Z, B, n_out):
             (1, Z, B), lambda g, planes, shifts: (g, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * Z, B), src.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, Z + 8, B), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     fn = pl.pallas_call(
@@ -85,7 +113,7 @@ def _pallas_plane_gather(src, planes_flat, shifts_flat, Z, B, n_out):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, Z, B), src.dtype),
     )
-    return fn(planes_flat, shifts_flat, src)
+    return fn(planes_flat, shifts_flat, doubled)
 
 
 def plane_gather(src, planes, shifts, use_pallas=None):

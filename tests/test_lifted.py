@@ -173,3 +173,24 @@ def test_lifted_decodes_other_families(family):
     assert np.asarray(out["success"]).sum() >= 3
     decoded = np.asarray(out["codeword"])[np.asarray(out["success"])]
     assert not decoded.any()  # all-zero codeword recovered
+
+
+def test_fused_matches_plane_gather_path():
+    """The fused Pallas kernels (interpret mode on CPU) must agree with
+    the plane-gather path on success/iterations/codewords."""
+    code = DvbCode.R8_9short
+    h = code.h()
+    lg, _ = _lifted_for(code)
+    msgs, llr = _noisy_codeword_llrs(h, 128, 0.47, seed=1)
+    _, a = make_arithmetic("Minsumf32")
+    o1 = lifted_flooding_decode(lg, a, llr, 20, use_pallas=False)
+    o2 = lifted_flooding_decode(lg, a, llr, 20, fused=True)
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"])[s1], np.asarray(o2["codeword"])[s1]
+    )
+    assert s1.sum() >= 100
