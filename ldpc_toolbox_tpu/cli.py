@@ -252,9 +252,55 @@ def _format_progress(stats, force_ldpc: bool) -> str:
     )
 
 
+def _resolve_ber_code(spec: str):
+    """Resolve the ber positional: an alist path, or a code spec
+    ("dvbs2:1/2", "dvbs2:1/2:short", "5g:1:384", "ccsds:1/2:1024",
+    "ccsds-c2") — specs additionally enable the block-circulant fast path.
+    Returns (h, lifted_graph_or_None)."""
+    import os
+
+    from .decoder.lifted import LiftedGraph, lifted_graph_for
+    from .sparse import SparseMatrix
+
+    if os.path.exists(spec) or ":" not in spec and spec != "ccsds-c2":
+        return SparseMatrix.from_alist_file(spec), None
+    parts = spec.split(":")
+    if parts[0] == "dvbs2":
+        from .codes.dvbs2 import Code
+
+        name = "R" + parts[1].replace("/", "_")
+        if len(parts) > 2 and parts[2] == "short":
+            name += "short"
+        code = Code[name]
+        return code.h(), lifted_graph_for(code)
+    if parts[0] == "5g":
+        from .codes.nr5g import BaseGraph
+        from .decoder.lifted import nr5g_maps
+
+        bg = BaseGraph.BG1 if parts[1] == "1" else BaseGraph.BG2
+        z = int(parts[2])
+        h = bg.h(z)
+        vm, cm, Z, nvg, ncg = nr5g_maps(bg, z)
+        return h, LiftedGraph.from_sparse(h, vm, cm, Z, nvg, ncg)
+    if parts[0] == "ccsds":
+        from .codes.ccsds import AR4JACode, AR4JAInfoSize, AR4JARate
+
+        rate = {"1/2": AR4JARate.R1_2, "2/3": AR4JARate.R2_3,
+                "4/5": AR4JARate.R4_5}[parts[1]]
+        size = {1024: AR4JAInfoSize.K1024, 4096: AR4JAInfoSize.K4096,
+                16384: AR4JAInfoSize.K16384}[int(parts[2])]
+        code = AR4JACode(rate, size)
+        return code.h(), lifted_graph_for(code)
+    if parts[0] == "ccsds-c2":
+        from .codes.ccsds import C2Code
+
+        code = C2Code()
+        return code.h(), lifted_graph_for(code)
+    _die(f"cannot resolve code spec or alist path {spec!r}")
+
+
 def run_ber(args) -> None:
     from .simulation.factory import BerTestBuilder, Modulation
-    from .sparse import SparseMatrix
 
     try:
         puncturing = (
@@ -262,7 +308,9 @@ def run_ber(args) -> None:
         )
     except ValueError as e:
         _die(str(e))
-    h = SparseMatrix.from_alist_file(args.alist)
+    h, lifted = _resolve_ber_code(args.alist)
+    if args.no_lifted:
+        lifted = None
     num_ebn0s = int((args.max_ebn0 - args.min_ebn0) / args.step_ebn0) + 1
     ebn0s = [args.min_ebn0 + i * args.step_ebn0 for i in range(num_ebn0s)]
 
@@ -318,6 +366,9 @@ def run_ber(args) -> None:
         batch_size=args.batch_size,
         seed=args.seed,
         mesh=mesh,
+        lifted_graph=lifted,
+        checkpoint_path=args.checkpoint,
+        profile_dir=args.profile_dir,
     ).build()
     try:
         test.run()
@@ -344,7 +395,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(func=run_5g)
 
     s = sub.add_parser("ber", help="Performs a BER simulation")
-    s.add_argument("alist")
+    s.add_argument(
+        "alist",
+        help="alist file, or a code spec enabling the block-circulant fast "
+        "path: dvbs2:RATE[:short], 5g:BG:Z, ccsds:RATE:K, ccsds-c2",
+    )
     s.add_argument("--output-file")
     s.add_argument("--output-file-ldpc")
     s.add_argument("--decoder", default="Phif64")
@@ -365,6 +420,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over all devices")
     s.add_argument("--num-threads", type=int, default=None,
                    help="accepted for reference-CLI compatibility (ignored)")
+    s.add_argument("--checkpoint", help="sweep checkpoint file (resumable)")
+    s.add_argument("--profile-dir", help="jax.profiler trace directory")
+    s.add_argument("--no-lifted", action="store_true",
+                   help="disable the block-circulant fast path")
     s.set_defaults(func=run_ber)
 
     s = sub.add_parser("ccsds", help="Generates the alist of CCSDS LDPCs")

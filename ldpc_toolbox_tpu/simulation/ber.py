@@ -102,6 +102,15 @@ class BerTestParameters:
     batch_size: int = 128
     seed: int = 0
     mesh: Optional[object] = None  # jax.sharding.Mesh for multi-chip runs
+    # block-circulant fast path: a decoder.lifted.LiftedGraph for the code
+    # (flooding schedules only); min-sum float rules additionally use the
+    # fused Pallas kernels on TPU
+    lifted_graph: Optional[object] = None
+    # checkpoint file: sweep state is saved after every completed Eb/N0
+    # point (and periodically within a point) so long sweeps are resumable
+    checkpoint_path: Optional[str] = None
+    # directory for jax.profiler traces (one trace per Eb/N0 point)
+    profile_dir: Optional[str] = None
 
 
 @dataclass
@@ -150,13 +159,30 @@ class BerTest:
         self.n = round(self.n_cw / punct_rate)
         self.rate = self.k / self.n
         self.encoder = Encoder(h)
-        self.graph = DecodeGraph.from_sparse(h)
         self.schedule, self.arithmetic = make_arithmetic(
             p.decoder_implementation
         )
-        self._decode = (
-            flooding_decode if self.schedule == "flooding" else layered_decode
-        )
+        if p.lifted_graph is not None and self.schedule == "flooding":
+            from ..decoder.arithmetic import MinSumArithmetic
+            from ..decoder.lifted_flooding import lifted_flooding_decode
+            from functools import partial as _partial
+
+            fused = (
+                isinstance(self.arithmetic, MinSumArithmetic)
+                and jax.default_backend() != "cpu"
+                and p.batch_size % 128 == 0
+            )
+            self.graph = p.lifted_graph
+            self._decode = _partial(
+                lifted_flooding_decode, fused=fused, use_pallas=False
+            )
+        else:
+            self.graph = DecodeGraph.from_sparse(h)
+            self._decode = (
+                flooding_decode
+                if self.schedule == "flooding"
+                else layered_decode
+            )
         self.statistics: list[Statistics] = []
         self._step = jax.jit(self._make_step())
 
@@ -254,50 +280,134 @@ class BerTest:
             bch=bch,
         )
 
+    # -- sweep checkpointing (SURVEY.md §5: resumable multi-host sweeps) ----
+
+    def _checkpoint_state(self, point, counters, step_idx, point_elapsed):
+        import dataclasses
+
+        return {
+            "version": 1,
+            "seed": self.p.seed,
+            "ebn0s_db": [float(e) for e in self.p.ebn0s_db],
+            "decoder": self.p.decoder_implementation,
+            "completed": [dataclasses.asdict(s) for s in self.statistics],
+            "point": point,
+            "counters": dataclasses.asdict(counters),
+            "step_idx": step_idx,
+            "point_elapsed": point_elapsed,
+        }
+
+    def _save_checkpoint(self, state) -> None:
+        import json
+        import os
+
+        tmp = self.p.checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.p.checkpoint_path)
+
+    def _load_checkpoint(self):
+        import json
+        import os
+
+        path = self.p.checkpoint_path
+        if not path or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            state = json.load(f)
+        if (
+            state.get("version") != 1
+            or state.get("seed") != self.p.seed
+            or state.get("ebn0s_db") != [float(e) for e in self.p.ebn0s_db]
+            or state.get("decoder") != self.p.decoder_implementation
+        ):
+            return None  # parameters changed: start fresh
+        for s in state["completed"]:
+            ldpc = CodeStatistics(**s.pop("ldpc"))
+            bch = s.pop("bch")
+            self.statistics.append(
+                Statistics(
+                    **s, ldpc=ldpc, bch=CodeStatistics(**bch) if bch else None
+                )
+            )
+        return state
+
     def run(self) -> list[Statistics]:
+        import contextlib
+
         p = self.p
         base_key = jax.random.key(p.seed)
         min_time = p.min_run_time or 0.0
         max_time = p.max_run_time if p.max_run_time is not None else float("inf")
         has_bch = p.bch_max_errors > 0
 
+        resume = self._load_checkpoint()
+        start_point = 0
+        resume_counters = None
+        resume_step = 0
+        resume_elapsed = 0.0
+        if resume is not None:
+            start_point = resume["point"]
+            resume_counters = _Counters(**resume["counters"])
+            resume_step = resume["step_idx"]
+            resume_elapsed = resume["point_elapsed"]
+
         for point, ebn0_db in enumerate(p.ebn0s_db):
+            if point < start_point:
+                continue  # restored from checkpoint
             ebn0 = 10.0 ** (0.1 * float(ebn0_db))
             esn0 = self.rate * self.modulation.BITS_PER_SYMBOL * ebn0
             noise_sigma = float(np.sqrt(0.5 / esn0))
-            counters = _Counters()
-            start = time.monotonic()
-            last_report = start
-            step_idx = 0
-            in_flight = []  # small pipeline so host accounting overlaps device
-            while True:
-                elapsed = time.monotonic() - start
-                errors = (
-                    counters.bch_frame_errors
-                    if has_bch
-                    else counters.frame_errors
-                )
-                if (
-                    errors >= p.max_frame_errors and elapsed >= min_time
-                ) or elapsed >= max_time:
-                    break
-                key = jax.random.fold_in(
-                    jax.random.fold_in(base_key, point), step_idx
-                )
-                in_flight.append(self._step(key, noise_sigma))
-                step_idx += 1
-                if len(in_flight) >= 2:
-                    counters.add(jax.device_get(in_flight.pop(0)))
-                if p.reporter is not None:
+            if point == start_point and resume_counters is not None:
+                counters = resume_counters
+                step_idx = resume_step
+                start = time.monotonic() - resume_elapsed
+            else:
+                counters = _Counters()
+                step_idx = 0
+                start = time.monotonic()
+            last_report = time.monotonic()
+            in_flight = []  # small pipeline: host accounting overlaps device
+
+            if p.profile_dir:
+                profile_cm = jax.profiler.trace(p.profile_dir)
+            else:
+                profile_cm = contextlib.nullcontext()
+            with profile_cm:
+                while True:
+                    elapsed = time.monotonic() - start
+                    errors = (
+                        counters.bch_frame_errors
+                        if has_bch
+                        else counters.frame_errors
+                    )
+                    if (
+                        errors >= p.max_frame_errors and elapsed >= min_time
+                    ) or elapsed >= max_time:
+                        break
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(base_key, point), step_idx
+                    )
+                    in_flight.append(self._step(key, noise_sigma))
+                    step_idx += 1
+                    if len(in_flight) >= 2:
+                        counters.add(jax.device_get(in_flight.pop(0)))
                     now = time.monotonic()
                     if now - last_report >= p.report_interval:
                         last_report = now
-                        p.reporter(
-                            self._point_statistics(
-                                counters, ebn0_db, now - start
-                            ),
-                            False,
-                        )
+                        if p.reporter is not None:
+                            p.reporter(
+                                self._point_statistics(
+                                    counters, ebn0_db, now - start
+                                ),
+                                False,
+                            )
+                        if p.checkpoint_path:
+                            self._save_checkpoint(
+                                self._checkpoint_state(
+                                    point, counters, step_idx, now - start
+                                )
+                            )
             for d in in_flight:
                 counters.add(jax.device_get(d))
             stats = self._point_statistics(
@@ -306,4 +416,8 @@ class BerTest:
             self.statistics.append(stats)
             if p.reporter is not None:
                 p.reporter(stats, True)
+            if p.checkpoint_path:
+                self._save_checkpoint(
+                    self._checkpoint_state(point + 1, _Counters(), 0, 0.0)
+                )
         return self.statistics

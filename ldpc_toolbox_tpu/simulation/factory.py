@@ -52,6 +52,9 @@ class BerTestBuilder:
     batch_size: int = 128
     seed: int = 0
     mesh: Optional[object] = None
+    lifted_graph: Optional[object] = None
+    checkpoint_path: Optional[str] = None
+    profile_dir: Optional[str] = None
 
     def build(self) -> BerTest:
         params = BerTestParameters(
@@ -69,5 +72,8 @@ class BerTestBuilder:
             batch_size=self.batch_size,
             seed=self.seed,
             mesh=self.mesh,
+            lifted_graph=self.lifted_graph,
+            checkpoint_path=self.checkpoint_path,
+            profile_dir=self.profile_dir,
         )
         return BerTest(params, self.modulation.instance())
