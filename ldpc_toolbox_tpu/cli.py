@@ -481,8 +481,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled executables across CLI invocations (first DVB-S2
+    normal-frame compiles are expensive through the remote TPU tunnel)."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "LDPC_TOOLBOX_TPU_CACHE",
+            os.path.expanduser("~/.cache/ldpc_toolbox_tpu/jax"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     args.func(args)
 
 

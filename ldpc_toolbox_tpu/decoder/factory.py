@@ -69,10 +69,15 @@ _FLOODING_ARITHS: dict[str, Callable[[], Arithmetic]] = {
     "Minstarapproxf32": lambda: MinstarApproxArithmetic(jnp.float32),
     "Aminstarf64": lambda: AminstarArithmetic(_f64()),
     "Aminstarf32": lambda: AminstarArithmetic(jnp.float32),
-    # framework extensions
+    # framework extensions: plain and normalized (scale 0.75) min-sum,
+    # with f32 or bf16 message storage
     "Minsumf32": lambda: MinSumArithmetic(jnp.float32),
     "Minsumbf16": lambda: MinSumArithmetic(
         jnp.float32, storage=jnp.bfloat16
+    ),
+    "Normminsumf32": lambda: MinSumArithmetic(jnp.float32, scale=0.75),
+    "Normminsumbf16": lambda: MinSumArithmetic(
+        jnp.float32, scale=0.75, storage=jnp.bfloat16
     ),
     **_i8_combos("Minstarapproxi8", MinstarApproxI8Arithmetic),
     **_i8_combos("Aminstari8", AminstarI8Arithmetic),
@@ -92,8 +97,9 @@ _HL_NAMES = [
     "Aminstarf32",
     "Aminstari8",
     "Aminstari8PartialHardLimit",
-    # framework extension
+    # framework extensions
     "Minsumf32",
+    "Normminsumf32",
 ]
 
 #: name -> (schedule, arithmetic factory); schedule in {"flooding", "layered"}
