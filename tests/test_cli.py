@@ -128,3 +128,32 @@ def test_cli_ber(tmp_path):
     assert len(lines) == 4  # 2 header lines + 2 Eb/N0 points
     assert lines[2].strip().startswith("4.00")
     assert lines[3].strip().startswith("5.00")
+
+
+def test_external_decoder_example():
+    """The decoder plug-in surface (examples/external_decoder_ber.py,
+    mirroring the reference's examples/external_decoder_ber.rs)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        import external_decoder_ber as ex
+    finally:
+        sys.path.pop(0)
+    ex.register()
+    from ldpc_toolbox_tpu.decoder import Decoder
+    from ldpc_toolbox_tpu.mackay_neal import Config
+    from ldpc_toolbox_tpu.systematic import parity_to_systematic
+
+    h = parity_to_systematic(Config(nrows=16, ncols=32, wr=6, wc=3).run(42))
+    dec = Decoder(h, "Offsetminsumf32")
+    from ldpc_toolbox_tpu.encoder import Encoder
+
+    enc = Encoder(h)
+    msg = np.ones(enc.k, np.uint8)
+    cw = enc.encode(msg)
+    llr = np.where(cw == 0, 3.0, -3.0)
+    llr[0] = -llr[0] * 0.3  # one soft error
+    out = dec.decode(llr, 30)
+    assert out.success
+    np.testing.assert_array_equal(out.codeword, cw)
