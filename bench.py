@@ -110,7 +110,7 @@ def main():
         return
 
     code, graph = build(CODE_NAME)
-    mbps = measure(code, graph, batch=256, reps=5)
+    mbps = measure(code, graph, batch=512, reps=5)
     try:
         floor = cpu_floor(CODE_NAME)
     except Exception:

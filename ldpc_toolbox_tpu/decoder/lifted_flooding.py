@@ -215,8 +215,10 @@ def lifted_flooding_decode(
 def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int):
     """Min-sum flooding via the fused Pallas phase kernels."""
     from ..ops.fused_bp import (
+        MAX_FUSED_DEGREE,
         double_planes,
         fused_check_minsum,
+        fused_syndrome,
         fused_var_update,
         poke_doubled,
     )
@@ -243,27 +245,49 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
         llr_planes[vg_starts[i] : vg_starts[i + 1]] for i in range(len(vb))
     ]
 
-    def check_satisfied(hard):
-        bits = hard.astype(jnp.int8)
+    # per-bucket single-lane exclusion tables for the fused syndrome (the
+    # incomplete-circulant fixup); multi-lane gaps fall back to the jnp path
+    offs = _bucket_offsets(cb)
+    mask_lanes = [np.full(len(b.groups) * b.degree, -1, np.int32) for b in cb]
+    syndrome_fusable = [b.degree <= MAX_FUSED_DEGREE for b in cb]
+    for _vm, cm_posn, lanes_c, _lv in lg.missing:
+        for i, b in enumerate(cb):
+            if offs[i] <= cm_posn < offs[i + 1]:
+                if len(lanes_c) == 1:
+                    mask_lanes[i][cm_posn - offs[i]] = int(lanes_c[0])
+                else:
+                    syndrome_fusable[i] = False
+
+    def check_satisfied_fused(post_doubled):
+        """(VG, 2Z+align, B) doubled posteriors -> (B,) all satisfied."""
         bad = None
         for i, b in enumerate(cb):
             if b.degree == 0 or len(b.groups) == 0:
                 continue
-            g = plane_gather_reference(bits, b.var_group_pos, b.shifts)
-            for vm_posn, cm_posn, lanes_c, lanes_v in lg.missing:
-                offs = _bucket_offsets(cb)
-                if offs[i] <= cm_posn < offs[i + 1]:
-                    rel = cm_posn - offs[i]
-                    g = g.at[
-                        rel // b.degree, rel % b.degree, jnp.asarray(lanes_c)
-                    ].set(0)
-            syn = (jnp.sum(g, axis=1, dtype=jnp.int32) & 1).astype(bool)
-            any_bad = jnp.any(syn, axis=(0, 1))
+            if syndrome_fusable[i]:
+                syn = fused_syndrome(
+                    post_doubled, b.var_group_pos, b.shifts, mask_lanes[i],
+                    len(b.groups), b.degree, Z, B,
+                )
+                any_bad = jnp.any(syn.astype(bool), axis=0)
+            else:
+                bits = (post_doubled[:, :Z] <= 0).astype(jnp.int8)
+                g = plane_gather_reference(bits, b.var_group_pos, b.shifts)
+                for _vm2, cm_posn, lanes_c, _lv2 in lg.missing:
+                    if offs[i] <= cm_posn < offs[i + 1]:
+                        rel = cm_posn - offs[i]
+                        g = g.at[
+                            rel // b.degree, rel % b.degree,
+                            jnp.asarray(lanes_c),
+                        ].set(0)
+                syn = (jnp.sum(g, axis=1, dtype=jnp.int32) & 1).astype(bool)
+                any_bad = jnp.any(syn, axis=(0, 1))
             bad = any_bad if bad is None else (bad | any_bad)
         return jnp.ones(B, bool) if bad is None else ~bad
 
+    llr_doubled = double_planes(llr_planes)
     hard0 = llr_planes <= 0
-    ok0 = check_satisfied(hard0)
+    ok0 = check_satisfied_fused(llr_doubled)
 
     def poke_v2c(v2c_d):
         for vm_posn, _cm, _lanes_c, lanes_v in lg.missing:
@@ -283,8 +307,6 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
         ]
     )
     v2c0_d = poke_v2c(double_planes(v2c0))
-
-    from ..ops.fused_bp import MAX_FUSED_DEGREE
 
     def gather_jnp(src_d, side):
         """Unfused fallback for buckets too wide for VMEM: gather rolled
@@ -324,7 +346,7 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
             if len(b.groups) == 0:
                 continue
             if b.degree == 0:
-                post_parts.append(q_parts[i])
+                post_parts.append(double_planes(q_parts[i]))
                 continue
             if b.degree <= MAX_FUSED_DEGREE:
                 v2c_b, post_b = fused_var_update(
@@ -334,11 +356,11 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
             else:
                 y = gather_jnp(c2v_d, b)
                 G, d = len(b.groups), b.degree
-                v2c_blk, post_b = arithmetic.var_update(
+                v2c_blk, post_blk = arithmetic.var_update(
                     q_parts[i].reshape(G, Z * B), y.reshape(G, d, Z * B)
                 )
                 v2c_b = double_planes(v2c_blk.reshape(G * d, Z, B))
-                post_b = post_b.reshape(G, Z, B)
+                post_b = double_planes(post_blk.reshape(G, Z, B))
             v2c_parts.append(v2c_b)
             post_parts.append(post_b)
         v2c_d = poke_v2c(jnp.concatenate(v2c_parts))
@@ -346,9 +368,9 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
 
     def body(state):
         it, v2c_d, _hard, converged, iters, frozen = state
-        v2c_d, post = iterate(v2c_d)
-        hard = post <= 0
-        ok = check_satisfied(hard)
+        v2c_d, post_d = iterate(v2c_d)
+        hard = post_d[:, :Z] <= 0
+        ok = check_satisfied_fused(post_d)
         newly = ok & ~converged
         it = it + 1
         iters = jnp.where(newly, it, iters)

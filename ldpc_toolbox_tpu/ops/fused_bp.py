@@ -254,7 +254,12 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
             total_llr = total_llr + rolled[t]
         for t in range(d):
             _write_doubled(out_ref, t, total_llr - rolled[t], Z, align)
-        post_ref[0] = total_llr.astype(post_ref.dtype)
+        # posterior also writes lane-doubled so the fused syndrome kernel
+        # can DMA rolled windows of it directly
+        post = total_llr.astype(post_ref.dtype)
+        post_ref[0, :Z, :] = post
+        post_ref[0, Z : 2 * Z, :] = post
+        post_ref[0, 2 * Z :, :] = post[:align, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -268,7 +273,9 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
                 (1, d, 2 * Z + align, Bt),
                 lambda g, bt, p, s: (g, 0, 0, bt),
             ),
-            pl.BlockSpec((1, Z, Bt), lambda g, bt, p, s: (g, 0, bt)),
+            pl.BlockSpec(
+                (1, 2 * Z + align, Bt), lambda g, bt, p, s: (g, 0, bt)
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, d, Z + align, Bt), dtype),
@@ -280,7 +287,7 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, d, 2 * Z + align, B), dtype),
-            jax.ShapeDtypeStruct((G, Z, B), dtype),
+            jax.ShapeDtypeStruct((G, 2 * Z + align, B), dtype),
         ],
         interpret=_interpret(),
     )(
@@ -290,3 +297,65 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
         q_planes,
     )
     return out.reshape(G * d, 2 * Z + align, B), post
+
+
+def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
+                   Bt=None):
+    """Parity-check syndrome, fused: lane-doubled posterior planes ->
+    (G, B) int8 "this check group has an unsatisfied row".
+
+    ``planes`` index the var-*group* planes of the posterior array;
+    ``mask_lane[G*d]`` optionally excludes one check-coordinate lane per
+    edge (-1 = none) — the incomplete-circulant fixup.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if Bt is None:
+        Bt = _pick_bt(d, B)
+    nbt = B // Bt
+    total = G * nbt
+    dtype = post_doubled.dtype
+    align = _align_of(dtype)
+
+    def kernel(planes_ref, shifts_ref, mask_ref, src_ref, out_ref, scratch,
+               sems):
+        g = pl.program_id(0)
+        rolled = _phase_kernel_body(
+            planes_ref, shifts_ref, src_ref, scratch, sems,
+            d, Z, Bt, nbt, total, align,
+        )
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
+        parity = None
+        for t in range(d):
+            bit = (rolled[t] <= 0).astype(jnp.int32)
+            bit = jnp.where(lane_ids == mask_ref[g * d + t], 0, bit)
+            parity = bit if parity is None else parity ^ bit
+        any_bad = jnp.max(parity, axis=0, keepdims=True).astype(jnp.int8)
+        # Mosaic wants >= (8, 128) output tiles: write the row 8x
+        out_ref[0, :, :] = jnp.broadcast_to(any_bad, (8, Bt))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G, nbt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, Bt), lambda g, bt, planes, shifts, mask: (g, 0, bt)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, Z + align, Bt), dtype),
+            pltpu.SemaphoreType.DMA((2, d)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.int8),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(planes.reshape(-1), jnp.int32),
+        jnp.asarray(shifts.reshape(-1), jnp.int32),
+        jnp.asarray(mask_lane.reshape(-1), jnp.int32),
+        post_doubled,
+    )
+    return out[:, 0, :]
