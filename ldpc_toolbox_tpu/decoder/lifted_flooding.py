@@ -215,12 +215,14 @@ def lifted_flooding_decode(
 def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int):
     """Min-sum flooding via the fused Pallas phase kernels."""
     from ..ops.fused_bp import (
+        BT,
         MAX_FUSED_DEGREE,
         double_planes,
         fused_check_minsum,
         fused_syndrome,
         fused_var_update,
         poke_doubled,
+        undouble_planes,
     )
     from ..ops.plane_gather import plane_gather_reference
 
@@ -234,6 +236,7 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
     dtype = arithmetic.storage_dtype
     assert jnp.issubdtype(dtype, jnp.floating), "fused path is float-only"
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    nbt = B // BT
 
     col_of = lg.var_cols[lg.var_group_order]  # (VG, Z)
     llr_planes = llrs.T[jnp.asarray(col_of.reshape(-1))].reshape(
@@ -244,6 +247,12 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
     q_parts = [
         llr_planes[vg_starts[i] : vg_starts[i + 1]] for i in range(len(vb))
     ]
+
+    def tile_q(q):  # (G, Z, B) -> (nbt, G, Z, Bt)
+        G = q.shape[0]
+        return q.reshape(G, Z, nbt, BT).transpose(2, 0, 1, 3)
+
+    q_tiles = [tile_q(q) for q in q_parts]
 
     # per-bucket single-lane exclusion tables for the fused syndrome (the
     # incomplete-circulant fixup); multi-lane gaps fall back to the jnp path
@@ -259,7 +268,8 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
                     syndrome_fusable[i] = False
 
     def check_satisfied_fused(post_doubled):
-        """(VG, 2Z+align, B) doubled posteriors -> (B,) all satisfied."""
+        """(nbt, VG, 2Z+align, Bt) doubled posteriors -> (B,) all
+        satisfied."""
         bad = None
         for i, b in enumerate(cb):
             if b.degree == 0 or len(b.groups) == 0:
@@ -271,7 +281,9 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
                 )
                 any_bad = jnp.any(syn.astype(bool), axis=0)
             else:
-                bits = (post_doubled[:, :Z] <= 0).astype(jnp.int8)
+                bits = (undouble_planes(post_doubled, Z) <= 0).astype(
+                    jnp.int8
+                )
                 g = plane_gather_reference(bits, b.var_group_pos, b.shifts)
                 for _vm2, cm_posn, lanes_c, _lv2 in lg.missing:
                     if offs[i] <= cm_posn < offs[i + 1]:
@@ -310,14 +322,17 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
 
     def gather_jnp(src_d, side):
         """Unfused fallback for buckets too wide for VMEM: gather rolled
-        planes from the doubled array with XLA's gather."""
+        planes from the doubled tiled array with XLA's gather."""
         G, d = side.planes.shape
+        align = src_d.shape[2] - 2 * Z
         lanes = (
             np.arange(Z)[None, None, :] + Z - side.shifts[:, :, None]
         )  # index into the doubled axis: Z - shift + l
-        flat = side.planes[:, :, None] * (2 * Z + 8) + lanes
-        out = src_d.reshape(-1, B)[jnp.asarray(flat.reshape(-1))]
-        return out.reshape(G, d, Z, B)
+        flat = side.planes[:, :, None] * (2 * Z + align) + lanes
+        out = src_d.reshape(nbt, -1, B // nbt)[:, jnp.asarray(flat.reshape(-1))]
+        return out.reshape(nbt, G, d, Z, B // nbt).transpose(
+            1, 2, 3, 0, 4
+        ).reshape(G, d, Z, B)
 
     def iterate(v2c_d):
         c2v_parts = []
@@ -338,7 +353,7 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
                 c2v_parts.append(
                     double_planes(out.reshape(G * d, Z, B))
                 )
-        c2v_d = poke_c2v(jnp.concatenate(c2v_parts))
+        c2v_d = poke_c2v(jnp.concatenate(c2v_parts, axis=1))
 
         v2c_parts = []
         post_parts = []
@@ -350,7 +365,7 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
                 continue
             if b.degree <= MAX_FUSED_DEGREE:
                 v2c_b, post_b = fused_var_update(
-                    c2v_d, b.planes, b.shifts, q_parts[i],
+                    c2v_d, b.planes, b.shifts, q_tiles[i],
                     len(b.groups), b.degree, Z, B,
                 )
             else:
@@ -363,13 +378,13 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
                 post_b = double_planes(post_blk.reshape(G, Z, B))
             v2c_parts.append(v2c_b)
             post_parts.append(post_b)
-        v2c_d = poke_v2c(jnp.concatenate(v2c_parts))
-        return v2c_d, jnp.concatenate(post_parts)
+        v2c_d = poke_v2c(jnp.concatenate(v2c_parts, axis=1))
+        return v2c_d, jnp.concatenate(post_parts, axis=1)
 
     def body(state):
         it, v2c_d, _hard, converged, iters, frozen = state
         v2c_d, post_d = iterate(v2c_d)
-        hard = post_d[:, :Z] <= 0
+        hard = undouble_planes(post_d, Z) <= 0
         ok = check_satisfied_fused(post_d)
         newly = ok & ~converged
         it = it + 1

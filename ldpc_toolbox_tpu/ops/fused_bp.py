@@ -4,21 +4,28 @@ One kernel invocation per (node-group, batch-tile) grid step performs the
 entire half-iteration for that group:
 
   * d double-buffered DMAs fetch the incident message planes from HBM
-    (contiguous (Z+8, Bt) windows of a lane-doubled source — the circulant
-    roll is an 8-aligned window plus a <=7-row pltpu.roll residual);
+    (contiguous (Z+align, Bt) windows of a lane-doubled source — the
+    circulant roll is an aligned window plus a <align-row pltpu.roll
+    residual);
   * the check (min-sum) or variable (sum-minus-own) rule runs on the
     stacked planes in VMEM;
   * outputs write back in lane-doubled form, so the *next* phase can DMA
     rolled windows directly — message data makes exactly one HBM round
     trip per phase.
 
-Compared with the unfused path (XLA gather at its ~230 GB/s ceiling plus
-several materialized elementwise passes), this holds per-iteration traffic
-at ~6x the raw message bytes and runs at copy bandwidth.
+Message arrays are stored **batch-tile-major**: ``(nbt, P, 2Z+align, Bt)``
+with ``nbt = B // Bt``. A rolled window ``[bt, p, hi:hi+Z+align, :]`` is
+then one fully contiguous HBM range (as is each output block), so every
+DMA runs at streaming bandwidth instead of the ~25% efficiency of
+256-byte strided rows that a plain ``(P, 2Z+align, B)`` layout gives at
+Bt=128. This is the difference between ~150 GB/s and >600 GB/s per phase
+on v5e.
 
-Shapes: ``src`` (P, 2Z+8, B) lane-doubled planes; ``planes/shifts`` (G*d,)
-int32; outputs (G*d, 2Z+8, B) doubled planes (check kernel) plus
-(G, Z, B) posteriors (variable kernel).
+Shapes: ``src`` (nbt, P, 2Z+align, Bt) lane-doubled planes; ``planes`` /
+``shifts`` (G*d,) int32; outputs (nbt, G, d, 2Z+align, Bt) doubled planes
+(check kernel) plus (nbt, G, 2Z+align, Bt) posteriors (variable kernel).
+``double_planes`` / ``undouble_planes`` convert to and from the logical
+``(P, Z, B)`` view.
 """
 
 from __future__ import annotations
@@ -31,10 +38,15 @@ import numpy as np
 
 __all__ = [
     "double_planes",
+    "undouble_planes",
     "poke_doubled",
     "fused_check_minsum",
     "fused_var_update",
+    "fused_syndrome",
 ]
+
+#: fixed batch-tile width of the fused layout (one VPU lane group)
+BT = 128
 
 
 def _align_of(dtype) -> int:
@@ -43,28 +55,38 @@ def _align_of(dtype) -> int:
     return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
 
 
-def double_planes(x):
-    """(P, Z, B) -> (P, 2Z+align, B) with x[p, i] = plane[i % Z]."""
+def double_planes(x, Bt: int = BT):
+    """(P, Z, B) -> (nbt, P, 2Z+align, Bt) with out[..., i, :] doubled
+    over the plane axis: row i = plane[i % Z]."""
+    P, Z, B = x.shape
     a = _align_of(x.dtype)
-    return jnp.concatenate([x, x, x[:, :a]], axis=1)
+    nbt = B // Bt
+    t = x.reshape(P, Z, nbt, Bt).transpose(2, 0, 1, 3)
+    return jnp.concatenate([t, t, t[:, :, :a]], axis=2)
+
+
+def undouble_planes(x, Z: int):
+    """(nbt, P, 2Z+align, Bt) -> (P, Z, B) logical planes."""
+    nbt, P, _, Bt = x.shape
+    return x[:, :, :Z].transpose(1, 2, 0, 3).reshape(P, Z, nbt * Bt)
 
 
 def poke_doubled(x, plane, lanes, value):
-    """Set lanes of one plane (all doubled copies) to a value."""
+    """Set lanes of one plane (all doubled copies, all batch tiles)."""
     a = _align_of(x.dtype)
-    Z = (x.shape[1] - a) // 2
+    Z = (x.shape[2] - a) // 2
     lanes = np.asarray(lanes)
     all_lanes = np.concatenate(
         [lanes, lanes + Z, lanes[lanes < a] + 2 * Z]
     )
-    return x.at[plane, jnp.asarray(all_lanes)].set(value)
+    return x.at[:, plane, jnp.asarray(all_lanes)].set(value)
 
 
 def _write_doubled(out_ref, t, plane, Z, align):
     plane = plane.astype(out_ref.dtype)
-    out_ref[0, t, :Z, :] = plane
-    out_ref[0, t, Z : 2 * Z, :] = plane
-    out_ref[0, t, 2 * Z :, :] = plane[:align, :]
+    out_ref[0, 0, t, :Z, :] = plane
+    out_ref[0, 0, t, Z : 2 * Z, :] = plane
+    out_ref[0, 0, t, 2 * Z :, :] = plane[:align, :]
 
 
 def _phase_kernel_body(
@@ -90,9 +112,10 @@ def _phase_kernel_body(
             out.append(
                 pltpu.make_async_copy(
                     src_ref.at[
+                        bt2,
                         planes_ref[e],
                         pl.ds(hi, Z + align),
-                        pl.ds(bt2 * Bt, Bt),
+                        :,
                     ],
                     scratch.at[slot, t],
                     sems.at[slot, t],
@@ -148,14 +171,9 @@ def _static_roll(scratch, slot, t, j, Z, align):
 
 
 #: largest per-group degree the fused kernels can hold in VMEM at the
-#: minimum 128-lane batch tile; callers fall back to the unfused path for
-#: bigger buckets
+#: 128-lane batch tile; callers fall back to the unfused path for bigger
+#: buckets
 MAX_FUSED_DEGREE = 10
-
-
-def _pick_bt(d: int, B: int) -> int:
-    assert d <= MAX_FUSED_DEGREE, d
-    return 128 if B % 128 == 0 else B
 
 
 def _interpret() -> bool:
@@ -164,13 +182,13 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def fused_check_minsum(src_doubled, planes, shifts, G, d, Z, B, Bt=None, scale=1.0):
-    """Min-sum check update, fused: (P, 2Z+8, B) v2c -> (G*d, 2Z+8, B) c2v."""
+def fused_check_minsum(src_doubled, planes, shifts, G, d, Z, B, scale=1.0):
+    """Min-sum check update, fused: (nbt, P, 2Z+a, Bt) v2c ->
+    (nbt, G*d, 2Z+a, Bt) c2v."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if Bt is None:
-        Bt = _pick_bt(d, B)
+    Bt = src_doubled.shape[-1]
     nbt = B // Bt
     total = G * nbt
     dtype = src_doubled.dtype
@@ -209,8 +227,8 @@ def fused_check_minsum(src_doubled, planes, shifts, G, d, Z, B, Bt=None, scale=1
         grid=(G, nbt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, d, 2 * Z + align, Bt),
-            lambda g, bt, planes, shifts: (g, 0, 0, bt),
+            (1, 1, d, 2 * Z + align, Bt),
+            lambda g, bt, planes, shifts: (bt, g, 0, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d, Z + align, Bt), dtype),
@@ -220,24 +238,23 @@ def fused_check_minsum(src_doubled, planes, shifts, G, d, Z, B, Bt=None, scale=1
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, d, 2 * Z + align, B), dtype),
+        out_shape=jax.ShapeDtypeStruct((nbt, G, d, 2 * Z + align, Bt), dtype),
         interpret=_interpret(),
     )(
         jnp.asarray(planes.reshape(-1), jnp.int32),
         jnp.asarray(shifts.reshape(-1), jnp.int32),
         src_doubled,
     )
-    return out.reshape(G * d, 2 * Z + align, B)
+    return out.reshape(nbt, G * d, 2 * Z + align, Bt)
 
 
-def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None):
+def fused_var_update(src_doubled, planes, shifts, q_tiled, G, d, Z, B):
     """Variable update, fused: c2v planes + channel LLRs -> (v2c doubled,
-    posterior)."""
+    posterior doubled). ``q_tiled`` is (nbt, G, Z, Bt)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if Bt is None:
-        Bt = _pick_bt(d, B)
+    Bt = src_doubled.shape[-1]
     nbt = B // Bt
     total = G * nbt
     dtype = src_doubled.dtype
@@ -249,7 +266,7 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
             planes_ref, shifts_ref, src_ref, scratch, sems,
             d, Z, Bt, nbt, total, align,
         )
-        total_llr = q_ref[0]
+        total_llr = q_ref[0, 0]
         for t in range(d):
             total_llr = total_llr + rolled[t]
         for t in range(d):
@@ -257,24 +274,24 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
         # posterior also writes lane-doubled so the fused syndrome kernel
         # can DMA rolled windows of it directly
         post = total_llr.astype(post_ref.dtype)
-        post_ref[0, :Z, :] = post
-        post_ref[0, Z : 2 * Z, :] = post
-        post_ref[0, 2 * Z :, :] = post[:align, :]
+        post_ref[0, 0, :Z, :] = post
+        post_ref[0, 0, Z : 2 * Z, :] = post
+        post_ref[0, 0, 2 * Z :, :] = post[:align, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G, nbt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, Z, Bt), lambda g, bt, p, s: (g, 0, bt)),
+            pl.BlockSpec((1, 1, Z, Bt), lambda g, bt, p, s: (bt, g, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, d, 2 * Z + align, Bt),
-                lambda g, bt, p, s: (g, 0, 0, bt),
+                (1, 1, d, 2 * Z + align, Bt),
+                lambda g, bt, p, s: (bt, g, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 2 * Z + align, Bt), lambda g, bt, p, s: (g, 0, bt)
+                (1, 1, 2 * Z + align, Bt), lambda g, bt, p, s: (bt, g, 0, 0)
             ),
         ],
         scratch_shapes=[
@@ -286,21 +303,20 @@ def fused_var_update(src_doubled, planes, shifts, q_planes, G, d, Z, B, Bt=None)
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, d, 2 * Z + align, B), dtype),
-            jax.ShapeDtypeStruct((G, 2 * Z + align, B), dtype),
+            jax.ShapeDtypeStruct((nbt, G, d, 2 * Z + align, Bt), dtype),
+            jax.ShapeDtypeStruct((nbt, G, 2 * Z + align, Bt), dtype),
         ],
         interpret=_interpret(),
     )(
         jnp.asarray(planes.reshape(-1), jnp.int32),
         jnp.asarray(shifts.reshape(-1), jnp.int32),
         src_doubled,
-        q_planes,
+        q_tiled,
     )
-    return out.reshape(G * d, 2 * Z + align, B), post
+    return out.reshape(nbt, G * d, 2 * Z + align, Bt), post
 
 
-def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
-                   Bt=None):
+def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B):
     """Parity-check syndrome, fused: lane-doubled posterior planes ->
     (G, B) int8 "this check group has an unsatisfied row".
 
@@ -311,8 +327,7 @@ def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if Bt is None:
-        Bt = _pick_bt(d, B)
+    Bt = post_doubled.shape[-1]
     nbt = B // Bt
     total = G * nbt
     dtype = post_doubled.dtype
@@ -333,14 +348,14 @@ def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
             parity = bit if parity is None else parity ^ bit
         any_bad = jnp.max(parity, axis=0, keepdims=True).astype(jnp.int8)
         # Mosaic wants >= (8, 128) output tiles: write the row 8x
-        out_ref[0, :, :] = jnp.broadcast_to(any_bad, (8, Bt))
+        out_ref[0, 0, :, :] = jnp.broadcast_to(any_bad, (8, Bt))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G, nbt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, Bt), lambda g, bt, planes, shifts, mask: (g, 0, bt)
+            (1, 1, 8, Bt), lambda g, bt, planes, shifts, mask: (bt, g, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d, Z + align, Bt), dtype),
@@ -350,7 +365,7 @@ def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, 8, B), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((nbt, G, 8, Bt), jnp.int8),
         interpret=_interpret(),
     )(
         jnp.asarray(planes.reshape(-1), jnp.int32),
@@ -358,4 +373,4 @@ def fused_syndrome(post_doubled, planes, shifts, mask_lane, G, d, Z, B,
         jnp.asarray(mask_lane.reshape(-1), jnp.int32),
         post_doubled,
     )
-    return out[:, 0, :]
+    return out[:, :, 0, :].transpose(1, 0, 2).reshape(G, B)
