@@ -73,9 +73,11 @@ def measure(code, graph, batch: int, reps: int) -> float:
     int(fn(llrs)["iterations"][0])  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        # fetch a scalar to force full completion (block_until_ready has
-        # proven unreliable on the tunneled axon platform)
-        int(fn(llrs)["iterations"][0])
+        r = fn(llrs)
+    # fetch one scalar of the LAST result only: TPU executes the queued
+    # calls in order on one stream, so its completion bounds them all —
+    # fetching per rep added a ~4 ms tunnel round trip to every rep
+    int(r["iterations"][0])
     dt = (time.perf_counter() - t0) / reps
     return 1e-6 * code.k * batch / dt
 

@@ -55,11 +55,12 @@ def lifted_flooding_decode(
 ):
     """Decode a (B, n) batch of channel LLRs on a lifted graph.
 
-    ``fused=True`` runs the Pallas fused phase kernels (ops/fused_bp.py):
-    messages stay lane-doubled in HBM and each phase is one kernel per
-    degree bucket — min-sum arithmetic only, float32, batch a multiple of
-    128. The default path uses the rolled plane gather + the generic
-    arithmetic (any of the 38 rules).
+    ``fused=True`` runs the v2 Pallas fused phase kernels
+    (ops/fused_bp2.py): messages are stored consumer-major pre-rolled,
+    each phase is one kernel over all node groups — min-sum arithmetic
+    only, float storage, any batch size (padded to a 128 multiple
+    internally). The default path uses the rolled plane gather + the
+    generic arithmetic (any of the 38 rules).
     """
     if fused:
         return _fused_minsum_decode(lg, arithmetic, llrs, max_iterations)
@@ -213,200 +214,95 @@ def lifted_flooding_decode(
 
 
 def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int):
-    """Min-sum flooding via the fused Pallas phase kernels."""
-    from ..ops.fused_bp import (
+    """Min-sum flooding via the v2 fused Pallas phase kernels.
+
+    Messages are stored consumer-major and pre-rolled (ops/fused_bp2.py):
+    check reads v2c as contiguous slabs, writes c2v scattered var-major;
+    the variable kernel does the reverse and also emits int8 hard-decision
+    bit planes that feed the VMEM-resident syndrome kernel, so the
+    convergence test costs 1 byte per bit per iteration.
+    """
+    from ..ops.fused_bp2 import (
         BT,
-        MAX_FUSED_DEGREE,
-        double_planes,
-        fused_check_minsum,
-        fused_syndrome,
-        fused_var_update,
-        poke_doubled,
-        undouble_planes,
+        build_fused_layout,
+        fused_check,
+        fused_syndrome_bits,
+        fused_var,
     )
-    from ..ops.plane_gather import plane_gather_reference
 
     Z = lg.Z
+    B_user = llrs.shape[0]
+    if B_user % BT:
+        # pad with strongly-positive LLRs: the all-zero codeword satisfies
+        # every check at iteration 0, so pad frames converge instantly and
+        # never hold the while_loop open; outputs are sliced back below
+        pad = BT - B_user % BT
+        llrs = jnp.concatenate(
+            [llrs, jnp.full((pad, llrs.shape[1]), 100.0, llrs.dtype)]
+        )
     B = llrs.shape[0]
-    assert B % 128 == 0, "fused path needs batch as a multiple of 128"
-    vb, cb = lg.var_buckets, lg.chk_buckets
-    scale = getattr(arithmetic, "scale", 1.0)
-    # the kernels run entirely in the storage dtype (f32, or bf16 for
-    # Minsumbf16 — min/sign are exact in bf16, sums lose ~ulp precision)
+    layout = build_fused_layout(lg)
+    scale = float(getattr(arithmetic, "scale", 1.0))
     dtype = arithmetic.storage_dtype
     assert jnp.issubdtype(dtype, jnp.floating), "fused path is float-only"
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    big = float(jnp.finfo(dtype).max)
     nbt = B // BT
+    VG, E = layout.VG, layout.E
 
-    col_of = lg.var_cols[lg.var_group_order]  # (VG, Z)
-    llr_planes = llrs.T[jnp.asarray(col_of.reshape(-1))].reshape(
-        lg.num_var_groups, Z, B
-    ).astype(dtype)
-
-    vg_starts = np.cumsum([0] + [len(b.groups) for b in vb])
-    q_parts = [
-        llr_planes[vg_starts[i] : vg_starts[i + 1]] for i in range(len(vb))
-    ]
-
-    def tile_q(q):  # (G, Z, B) -> (nbt, G, Z, Bt)
-        G = q.shape[0]
-        return q.reshape(G, Z, nbt, BT).transpose(2, 0, 1, 3)
-
-    q_tiles = [tile_q(q) for q in q_parts]
-
-    # per-bucket single-lane exclusion tables for the fused syndrome (the
-    # incomplete-circulant fixup); multi-lane gaps fall back to the jnp path
-    offs = _bucket_offsets(cb)
-    mask_lanes = [np.full(len(b.groups) * b.degree, -1, np.int32) for b in cb]
-    syndrome_fusable = [b.degree <= MAX_FUSED_DEGREE for b in cb]
-    for _vm, cm_posn, lanes_c, _lv in lg.missing:
-        for i, b in enumerate(cb):
-            if offs[i] <= cm_posn < offs[i + 1]:
-                if len(lanes_c) == 1:
-                    mask_lanes[i][cm_posn - offs[i]] = int(lanes_c[0])
-                else:
-                    syndrome_fusable[i] = False
-
-    def check_satisfied_fused(post_doubled):
-        """(nbt, VG, 2Z+align, Bt) doubled posteriors -> (B,) all
-        satisfied."""
-        bad = None
-        for i, b in enumerate(cb):
-            if b.degree == 0 or len(b.groups) == 0:
-                continue
-            if syndrome_fusable[i]:
-                syn = fused_syndrome(
-                    post_doubled, b.var_group_pos, b.shifts, mask_lanes[i],
-                    len(b.groups), b.degree, Z, B,
-                )
-                any_bad = jnp.any(syn.astype(bool), axis=0)
-            else:
-                bits = (undouble_planes(post_doubled, Z) <= 0).astype(
-                    jnp.int8
-                )
-                g = plane_gather_reference(bits, b.var_group_pos, b.shifts)
-                for _vm2, cm_posn, lanes_c, _lv2 in lg.missing:
-                    if offs[i] <= cm_posn < offs[i + 1]:
-                        rel = cm_posn - offs[i]
-                        g = g.at[
-                            rel // b.degree, rel % b.degree,
-                            jnp.asarray(lanes_c),
-                        ].set(0)
-                syn = (jnp.sum(g, axis=1, dtype=jnp.int32) & 1).astype(bool)
-                any_bad = jnp.any(syn, axis=(0, 1))
-            bad = any_bad if bad is None else (bad | any_bad)
-        return jnp.ones(B, bool) if bad is None else ~bad
-
-    llr_doubled = double_planes(llr_planes)
-    hard0 = llr_planes <= 0
-    ok0 = check_satisfied_fused(llr_doubled)
-
-    def poke_v2c(v2c_d):
-        for vm_posn, _cm, _lanes_c, lanes_v in lg.missing:
-            v2c_d = poke_doubled(v2c_d, vm_posn, lanes_v, big)
-        return v2c_d
-
-    def poke_c2v(c2v_d):
-        for _vm, cm_posn, lanes_c, _lv in lg.missing:
-            c2v_d = poke_doubled(c2v_d, cm_posn, lanes_c, 0)
-        return c2v_d
-
-    v2c0 = jnp.concatenate(
-        [
-            jnp.repeat(q_parts[i], b.degree, axis=0)
-            for i, b in enumerate(vb)
-            if b.degree > 0 and len(b.groups)
-        ]
+    col_of = lg.var_cols[lg.var_group_order]  # (VG, Z) original column
+    llr_planes = (
+        llrs.astype(dtype)
+        .T[jnp.asarray(col_of.reshape(-1))]
+        .reshape(VG, Z, B)
     )
-    v2c0_d = poke_v2c(double_planes(v2c0))
 
-    def gather_jnp(src_d, side):
-        """Unfused fallback for buckets too wide for VMEM: gather rolled
-        planes from the doubled tiled array with XLA's gather."""
-        G, d = side.planes.shape
-        align = src_d.shape[2] - 2 * Z
-        lanes = (
-            np.arange(Z)[None, None, :] + Z - side.shifts[:, :, None]
-        )  # index into the doubled axis: Z - shift + l
-        flat = side.planes[:, :, None] * (2 * Z + align) + lanes
-        out = src_d.reshape(nbt, -1, B // nbt)[:, jnp.asarray(flat.reshape(-1))]
-        return out.reshape(nbt, G, d, Z, B // nbt).transpose(
-            1, 2, 3, 0, 4
-        ).reshape(G, d, Z, B)
+    def tile(x):  # (P, Z, B) -> (nbt, P, Z, Bt)
+        P = x.shape[0]
+        return x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
 
-    def iterate(v2c_d):
-        c2v_parts = []
-        for b in cb:
-            if b.degree == 0 or len(b.groups) == 0:
-                continue
-            if b.degree <= MAX_FUSED_DEGREE:
-                c2v_parts.append(
-                    fused_check_minsum(
-                        v2c_d, b.planes, b.shifts,
-                        len(b.groups), b.degree, Z, B, scale=scale,
-                    )
-                )
-            else:
-                x = gather_jnp(v2c_d, b)
-                G, d = len(b.groups), b.degree
-                out = arithmetic.check_messages(x.reshape(G, d, Z * B))
-                c2v_parts.append(
-                    double_planes(out.reshape(G * d, Z, B))
-                )
-        c2v_d = poke_c2v(jnp.concatenate(c2v_parts, axis=1))
+    def untile(x):  # (nbt, P, Z, Bt) -> (P, Z, B)
+        P = x.shape[1]
+        return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
-        v2c_parts = []
-        post_parts = []
-        for i, b in enumerate(vb):
-            if len(b.groups) == 0:
-                continue
-            if b.degree == 0:
-                post_parts.append(double_planes(q_parts[i]))
-                continue
-            if b.degree <= MAX_FUSED_DEGREE:
-                v2c_b, post_b = fused_var_update(
-                    c2v_d, b.planes, b.shifts, q_tiles[i],
-                    len(b.groups), b.degree, Z, B,
-                )
-            else:
-                y = gather_jnp(c2v_d, b)
-                G, d = len(b.groups), b.degree
-                v2c_blk, post_blk = arithmetic.var_update(
-                    q_parts[i].reshape(G, Z * B), y.reshape(G, d, Z * B)
-                )
-                v2c_b = double_planes(v2c_blk.reshape(G * d, Z, B))
-                post_b = double_planes(post_blk.reshape(G, Z, B))
-            v2c_parts.append(v2c_b)
-            post_parts.append(post_b)
-        v2c_d = poke_v2c(jnp.concatenate(v2c_parts, axis=1))
-        return v2c_d, jnp.concatenate(post_parts, axis=1)
+    q_tiled = tile(llr_planes)
+
+    # flooding init in-kernel: v2c0[e] = roll(q[vg], s) + pokes, bits0
+    v2c0_t, bits0 = fused_var(None, q_tiled, layout)
+
+    def flags_to_ok(flags):  # (nbt, 8, Bt) -> (B,) all checks satisfied
+        return flags[:, 0, :].reshape(-1) == 0
+
+    ok0 = flags_to_ok(fused_syndrome_bits(bits0, layout))
 
     def body(state):
-        it, v2c_d, _hard, converged, iters, frozen = state
-        v2c_d, post_d = iterate(v2c_d)
-        hard = undouble_planes(post_d, Z) <= 0
-        ok = check_satisfied_fused(post_d)
+        it, v2c_t, _bits, converged, iters, frozen = state
+        c2v_t = fused_check(v2c_t, layout, scale=scale)
+        v2c_t, bits = fused_var(c2v_t, q_tiled, layout)
+        ok = flags_to_ok(fused_syndrome_bits(bits, layout))
         newly = ok & ~converged
         it = it + 1
         iters = jnp.where(newly, it, iters)
-        frozen = jnp.where(newly[None, None, :], hard, frozen)
-        return (it, v2c_d, hard, converged | ok, iters, frozen)
+        nt = newly.reshape(nbt, 1, 1, BT)
+        frozen = jnp.where(nt, bits, frozen)
+        return (it, v2c_t, bits, converged | ok, iters, frozen)
 
     def cond(state):
         return (state[0] < max_iterations) & ~jnp.all(state[3])
 
-    init = (jnp.int32(0), v2c0_d, hard0, ok0, jnp.zeros(B, jnp.int32), hard0)
-    it, _v, hard_final, converged, iters, frozen = jax.lax.while_loop(
+    init = (jnp.int32(0), v2c0_t, bits0, ok0, jnp.zeros(B, jnp.int32), bits0)
+    it, _v, bits_final, converged, iters, frozen = jax.lax.while_loop(
         cond, body, init
     )
 
-    hard_planes = jnp.where(converged[None, None, :], frozen, hard_final)
+    hard_planes = untile(
+        jnp.where(converged.reshape(nbt, 1, 1, BT), frozen, bits_final)
+    ).astype(bool)
     inv = np.empty(lg.n, np.int64)
-    inv[col_of.reshape(-1)] = np.arange(lg.num_var_groups * Z)
-    codeword = hard_planes.reshape(lg.num_var_groups * Z, B)[jnp.asarray(inv)]
+    inv[col_of.reshape(-1)] = np.arange(VG * Z)
+    codeword = hard_planes.reshape(VG * Z, B)[jnp.asarray(inv)]
     iters = jnp.where(converged, iters, max_iterations)
     return {
-        "codeword": codeword.T.astype(jnp.uint8),
-        "iterations": iters,
-        "success": converged,
+        "codeword": codeword.T.astype(jnp.uint8)[:B_user],
+        "iterations": iters[:B_user],
+        "success": converged[:B_user],
     }

@@ -1,0 +1,684 @@
+"""Fused belief-propagation phase kernels, v2 (Pallas TPU).
+
+Replaces the round-1 lane-doubled layout (`fused_bp.py`) after profiling
+showed the chip is bandwidth-bound at ~300 GB/s combined read+write and
+the doubled writes were pure amplification.  The v2 layout stores every
+message plane exactly once, **pre-rolled into its consumer's lane
+coordinates** and ordered **consumer-major**:
+
+  * ``v2c``  (nbt, CE, Z, Bt) — check-major, check coordinates
+  * ``c2v``  (nbt, VE, Z, Bt) — var-major, var coordinates
+  * ``bits`` (nbt, VG, Z, Bt) int8 — posterior hard decisions, var coords
+
+so each phase kernel
+
+  1. reads one fully contiguous ``(d, Z, Bt)`` slab per node group with a
+     single double-buffered DMA (streams at copy bandwidth),
+  2. applies the check/variable rule on the stacked planes in VMEM,
+  3. rotates each output plane into the *other* side's coordinates with a
+     dynamic ``pltpu.roll`` (measured ~free) and DMA-writes it to its
+     consumer-major position (scattered single-plane writes, measured at
+     copy bandwidth with >=3 write slots).
+
+Incomplete circulants (the DVB-S2 staircase corner, dvbs2.rs:92-97) are
+neutralized in-kernel: the variable kernel pokes +big into the missing
+lane of the v2c planes it produces (min-sum ignores it), the check kernel
+pokes 0 into the missing lane of its c2v planes (the variable sum ignores
+it), and the syndrome kernel masks the lane out of the XOR — so the hot
+loop has no host-side scatter fixups at all.
+
+The syndrome kernel keeps all VG hard-bit planes of a batch tile resident
+in VMEM (int8, ~8 MB at Bt=128) and revisits the block across check
+groups, so convergence checking costs one 1-byte-per-bit read per
+iteration instead of re-reading bf16 posteriors per edge.
+
+Reference semantics covered: flooding schedule check/variable update and
+parity test per iteration (reference decoder/flooding.rs:66-125,
+decoder.rs:157-164), vectorized over a batch and a Z-lift.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "BT",
+    "FusedLayout",
+    "build_fused_layout",
+    "fused_check",
+    "fused_var",
+    "fused_syndrome_bits",
+]
+
+#: batch-tile width (one VPU lane group)
+BT = 128
+#: write-DMA slots (in-flight scattered plane writes per kernel)
+WS = 3
+#: largest slab degree the kernels hold in VMEM at Bt=128
+MAX_DEGREE = 16
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclass(frozen=True)
+class _SideMeta:
+    """Static per-bucket metadata: groups [g0, g1) with degree d whose
+    first edge (in this side's flat consumer-major order) is ebase."""
+
+    g0: int
+    g1: int
+    d: int
+    ebase: int
+
+
+@dataclass(frozen=True)
+class FusedLayout:
+    """Flat index tensors for the v2 fused kernels, built once per code.
+
+    Edge flat orders: ``chk_*`` arrays are check-major (the order of
+    ``v2c`` planes), ``var_*`` arrays are var-major (the order of ``c2v``
+    planes).  ``rot`` entries are dynamic `pltpu.roll` amounts applied to
+    a kernel's *output* plane to bring it into the consumer's lane
+    coordinates; ``omask`` is the single missing lane to poke in the
+    output plane (-1 = none).
+    """
+
+    Z: int
+    E: int  # base edges
+    CG: int  # check groups (flattened, bucket-major)
+    VG: int  # var groups (flattened, bucket-major)
+
+    chk_meta: tuple  # tuple[_SideMeta], grid order
+    var_meta: tuple
+
+    chk_cs: np.ndarray  # (CG,) chunk start plane in v2c
+    chk_dest: np.ndarray  # (E,) var-major dest plane in c2v
+    chk_rot: np.ndarray  # (E,) roll check->var = (Z - s) % Z
+    chk_omask: np.ndarray  # (E,) missing lane in var coords, -1 none
+
+    var_cs: np.ndarray  # (VG,) chunk start plane in c2v
+    var_dest: np.ndarray  # (E,) check-major dest plane in v2c
+    var_rot: np.ndarray  # (E,) roll var->check = s
+    var_omask: np.ndarray  # (E,) missing lane in check coords, -1 none
+
+    syn_vg: np.ndarray  # (E,) check-major: var-group plane of each edge
+    syn_rot: np.ndarray  # (E,) roll var->check = s
+    syn_mask: np.ndarray  # (E,) missing lane in check coords, -1 none
+
+    # var-major edge -> var group (for building v2c0 on the check-major
+    # side we need the inverse; kept for the decode-loop glue)
+    cm_vg: np.ndarray  # (E,) check-major edge -> var group (bucket order)
+    cm_shift: np.ndarray  # (E,) edge lift shift s
+
+    @property
+    def max_chk_degree(self) -> int:
+        return max((m.d for m in self.chk_meta), default=0)
+
+    @property
+    def max_var_degree(self) -> int:
+        return max((m.d for m in self.var_meta), default=0)
+
+    @property
+    def fusable(self) -> bool:
+        return (
+            self.max_chk_degree <= MAX_DEGREE
+            and self.max_var_degree <= MAX_DEGREE
+        )
+
+
+def build_fused_layout(lg) -> FusedLayout:
+    """Build the v2 flat layout from a decoder.lifted.LiftedGraph.
+
+    Raises ValueError for graphs whose incomplete circulants are missing
+    more than one lane per edge (no standards family here does that);
+    callers fall back to the unfused path.
+    """
+    Z = lg.Z
+    E = lg.num_base_edges
+
+    # flat consumer-major metadata per side
+    def metas(buckets):
+        out = []
+        g0 = 0
+        ebase = 0
+        for b in buckets:
+            n = len(b.groups)
+            if n == 0:
+                continue
+            out.append(_SideMeta(g0=g0, g1=g0 + n, d=b.degree, ebase=ebase))
+            g0 += n
+            ebase += n * b.degree
+        return tuple(out), g0, ebase
+
+    chk_meta, CG, ce = metas(lg.chk_buckets)
+    var_meta, VG, ve = metas(lg.var_buckets)
+    assert ce == E and ve == E, (ce, ve, E)
+
+    chk_cs = np.empty(CG, np.int32)
+    for m in chk_meta:
+        chk_cs[m.g0 : m.g1] = m.ebase + np.arange(m.g1 - m.g0) * m.d
+    var_cs = np.empty(VG, np.int32)
+    for m in var_meta:
+        var_cs[m.g0 : m.g1] = m.ebase + np.arange(m.g1 - m.g0) * m.d
+
+    # per-edge flat arrays from the LiftedGraph buckets
+    def flat(buckets, attr):
+        parts = [
+            getattr(b, attr).reshape(-1)
+            for b in buckets
+            if len(b.groups) and b.degree
+        ]
+        return (
+            np.concatenate(parts).astype(np.int32)
+            if parts
+            else np.zeros(0, np.int32)
+        )
+
+    chk_dest = flat(lg.chk_buckets, "planes")  # vm position
+    chk_s = flat(lg.chk_buckets, "shifts")  # +s
+    chk_rot = ((Z - chk_s) % Z).astype(np.int32)
+    syn_vg = flat(lg.chk_buckets, "var_group_pos")
+    syn_rot = chk_s.copy()
+
+    var_dest = flat(lg.var_buckets, "planes")  # cm position
+    var_ms = flat(lg.var_buckets, "shifts")  # (-s) % Z
+    var_rot = ((Z - var_ms) % Z).astype(np.int32)
+
+    chk_omask = np.full(E, -1, np.int32)
+    var_omask = np.full(E, -1, np.int32)
+    syn_mask = np.full(E, -1, np.int32)
+    for vm_posn, cm_posn, lanes_c, lanes_v in lg.missing:
+        if len(lanes_c) != 1:
+            raise ValueError(
+                "fused v2 layout supports single-lane circulant gaps only"
+            )
+        chk_omask[cm_posn] = int(lanes_v[0])
+        var_omask[vm_posn] = int(lanes_c[0])
+        syn_mask[cm_posn] = int(lanes_c[0])
+
+    cm_vg = syn_vg.copy()
+    cm_shift = chk_s.copy()
+
+    return FusedLayout(
+        Z=Z,
+        E=E,
+        CG=CG,
+        VG=VG,
+        chk_meta=chk_meta,
+        var_meta=var_meta,
+        chk_cs=chk_cs,
+        chk_dest=chk_dest,
+        chk_rot=chk_rot,
+        chk_omask=chk_omask,
+        var_cs=var_cs,
+        var_dest=var_dest,
+        var_rot=var_rot,
+        var_omask=var_omask,
+        syn_vg=syn_vg,
+        syn_rot=syn_rot,
+        syn_mask=syn_mask,
+        cm_vg=cm_vg,
+        cm_shift=cm_shift,
+    )
+
+
+def _roll(x, amount):
+    """Dynamic circular shift along the sublane axis (32-bit lowering)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, amount, 0)
+
+
+def _minsum_rule(planes, scale, big):
+    """Leave-one-out min-sum: two-pass min1/min2/argmin/sign-parity fold.
+
+    ``planes``: list of d (Z, Bt) float32.  Returns d output planes.
+    Mirrors reference arithmetic.rs min-sum semantics under batching.
+    """
+    d = len(planes)
+    mags = [jnp.abs(x) for x in planes]
+    negs = [x < 0 for x in planes]
+    m1 = mags[0]
+    m2 = jnp.full_like(m1, big)
+    arg = jnp.zeros(m1.shape, jnp.int32)
+    par = negs[0]
+    for k in range(1, d):
+        mk = mags[k]
+        m2 = jnp.minimum(m2, jnp.maximum(m1, mk))
+        take = mk < m1
+        m1 = jnp.where(take, mk, m1)
+        arg = jnp.where(take, k, arg)
+        par = par ^ negs[k]
+    outs = []
+    for t in range(d):
+        loo = jnp.where(arg == t, m2, m1)
+        if scale != 1.0:
+            loo = loo * jnp.float32(scale)
+        outs.append(jnp.where(par ^ negs[t], -loo, loo))
+    return outs
+
+
+def _phase_call(
+    *,
+    kernel,
+    grid,
+    num_prefetch,
+    in_specs,
+    out_shape,
+    out_specs,
+    scratch_shapes,
+    args,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_prefetch,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None
+        if _interpret()
+        else pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 2**20
+        ),
+    )(*args)
+
+
+def fused_check(v2c, layout: FusedLayout, *, scale: float = 1.0):
+    """Check phase: v2c (nbt, E, Z, Bt) -> c2v (nbt, E, Z, Bt).
+
+    Reads contiguous (d, Z, Bt) slabs per check group (double-buffered),
+    applies min-sum, rolls outputs into var coordinates, scatters them to
+    var-major positions.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbt, E, Z, Bt = v2c.shape
+    CG = layout.CG
+    total = nbt * CG
+    metas = layout.chk_meta
+    dmax = layout.max_chk_degree
+    dtype = v2c.dtype
+    big = float(jnp.finfo(dtype).max)
+
+    def kernel(cs_ref, dest_ref, rot_ref, mask_ref, src_ref, out_ref,
+               in_buf, obuf, sem_in, sem_out):
+        bt = pl.program_id(0)
+        g = pl.program_id(1)
+        idx = bt * CG + g
+
+        def in_copy(idx2, slot, d):
+            bt2 = idx2 // CG
+            g2 = idx2 % CG
+            return pltpu.make_async_copy(
+                src_ref.at[bt2, pl.ds(cs_ref[g2], d)],
+                in_buf.at[slot, pl.ds(0, d)],
+                sem_in.at[slot],
+            )
+
+        def each_bucket(idx2, fn):
+            g2 = idx2 % CG
+            for m in metas:
+                if len(metas) == 1:
+                    fn(m, idx2)
+                else:
+                    def _body(m=m):
+                        fn(m, idx2)
+                    pl.when((g2 >= m.g0) & (g2 < m.g1))(_body)
+
+        def write_copies(m, idx2, slot):
+            bt2 = idx2 // CG
+            g2 = idx2 % CG
+            out = []
+            for t in range(m.d):
+                e = m.ebase + (g2 - m.g0) * m.d + t
+                out.append(
+                    pltpu.make_async_copy(
+                        obuf.at[slot, t],
+                        out_ref.at[bt2, dest_ref[e]],
+                        sem_out.at[slot, t],
+                    )
+                )
+            return out
+
+        # input pipeline
+        @pl.when(idx == 0)
+        def _():
+            each_bucket(0, lambda m, i2: in_copy(i2, 0, m.d).start())
+
+        @pl.when(idx + 1 < total)
+        def _():
+            each_bucket(
+                idx + 1,
+                lambda m, i2: in_copy(i2, (idx + 1) % 2, m.d).start(),
+            )
+
+        each_bucket(idx, lambda m, i2: in_copy(i2, idx % 2, m.d).wait())
+
+        # reclaim the write slot used S steps ago
+        wslot = idx % WS
+
+        @pl.when(idx >= WS)
+        def _():
+            each_bucket(
+                idx - WS,
+                lambda m, i2: [c.wait() for c in write_copies(m, i2, wslot)],
+            )
+
+        def compute(m, idx2):
+            islot = idx % 2
+            x = [in_buf[islot, t].astype(jnp.float32) for t in range(m.d)]
+            outs = _minsum_rule(x, scale, big)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
+            for t in range(m.d):
+                e = m.ebase + (g - m.g0) * m.d + t
+                o = _roll(outs[t], rot_ref[e])
+                o = jnp.where(lane == mask_ref[e], 0.0, o)
+                obuf[wslot, t] = o.astype(dtype)
+            for c in write_copies(m, idx2, wslot):
+                c.start()
+
+        each_bucket(idx, compute)
+
+        # drain all in-flight writes at the last step
+        @pl.when(idx == total - 1)
+        def _():
+            for j in range(min(WS, total)):
+                i2 = total - 1 - j
+                each_bucket(
+                    i2,
+                    lambda m, i2=i2, j=j: [
+                        c.wait() for c in write_copies(m, i2, i2 % WS)
+                    ],
+                )
+
+    return _phase_call(
+        kernel=kernel,
+        grid=(nbt, CG),
+        num_prefetch=4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=jax.ShapeDtypeStruct((nbt, E, Z, Bt), dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, dmax, Z, Bt), dtype),
+            pltpu.VMEM((WS, dmax, Z, Bt), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((WS, dmax)),
+        ],
+        args=(
+            jnp.asarray(layout.chk_cs),
+            jnp.asarray(layout.chk_dest),
+            jnp.asarray(layout.chk_rot),
+            jnp.asarray(layout.chk_omask),
+            v2c,
+        ),
+    )
+
+
+def fused_var(c2v, q_tiled, layout: FusedLayout):
+    """Variable phase: c2v (nbt, E, Z, Bt) + q (nbt, VG, Z, Bt) ->
+    (v2c (nbt, E, Z, Bt), bits (nbt, VG, Z, Bt) int8).
+
+    Sum-minus-own variable rule (reference arithmetic.rs:140-156); v2c
+    outputs are rolled into check coordinates and scattered check-major;
+    hard-decision bit planes stay in var coordinates.
+
+    ``c2v=None`` runs the *init* variant (all check messages zero): it
+    emits v2c0[e] = roll(q[vg], s) with the missing-lane pokes and the
+    iteration-0 hard decisions — the flooding initialization
+    (flooding.rs:88-100) — without the 232 MB XLA gather+transpose the
+    naive prologue costs.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    init = c2v is None
+    nbt, _VG, Z, Bt = q_tiled.shape
+    E = layout.E
+    VG = layout.VG
+    total = nbt * VG
+    metas = layout.var_meta
+    dmax = layout.max_var_degree
+    dtype = q_tiled.dtype
+    big = float(jnp.finfo(dtype).max)
+
+    def kernel(cs_ref, dest_ref, rot_ref, mask_ref, *refs):
+        if init:
+            (q_ref, v2c_ref, bits_ref, in_buf, qbuf, obuf, bbuf,
+             sem_in, sem_q, sem_out) = refs
+            src_ref = None
+        else:
+            (src_ref, q_ref, v2c_ref, bits_ref, in_buf, qbuf, obuf, bbuf,
+             sem_in, sem_q, sem_out) = refs
+        bt = pl.program_id(0)
+        g = pl.program_id(1)
+        idx = bt * VG + g
+
+        def in_copy(idx2, slot, d):
+            bt2 = idx2 // VG
+            g2 = idx2 % VG
+            return pltpu.make_async_copy(
+                src_ref.at[bt2, pl.ds(cs_ref[g2], d)],
+                in_buf.at[slot, pl.ds(0, d)],
+                sem_in.at[slot],
+            )
+
+        def q_copy(idx2, slot):
+            bt2 = idx2 // VG
+            g2 = idx2 % VG
+            return pltpu.make_async_copy(
+                q_ref.at[bt2, g2], qbuf.at[slot], sem_q.at[slot]
+            )
+
+        def each_bucket(idx2, fn):
+            g2 = idx2 % VG
+            for m in metas:
+                if len(metas) == 1:
+                    fn(m, idx2)
+                else:
+                    def _body(m=m):
+                        fn(m, idx2)
+                    pl.when((g2 >= m.g0) & (g2 < m.g1))(_body)
+
+        def start_in(m, idx2, slot):
+            if m.d > 0 and not init:
+                in_copy(idx2, slot, m.d).start()
+            q_copy(idx2, slot).start()
+
+        def wait_in(m, idx2, slot):
+            if m.d > 0 and not init:
+                in_copy(idx2, slot, m.d).wait()
+            q_copy(idx2, slot).wait()
+
+        def write_copies(m, idx2, slot):
+            bt2 = idx2 // VG
+            g2 = idx2 % VG
+            out = []
+            for t in range(m.d):
+                e = m.ebase + (g2 - m.g0) * m.d + t
+                out.append(
+                    pltpu.make_async_copy(
+                        obuf.at[slot, t],
+                        v2c_ref.at[bt2, dest_ref[e]],
+                        sem_out.at[slot, t],
+                    )
+                )
+            out.append(
+                pltpu.make_async_copy(
+                    bbuf.at[slot],
+                    bits_ref.at[bt2, g2],
+                    sem_out.at[slot, dmax],
+                )
+            )
+            return out
+
+        @pl.when(idx == 0)
+        def _():
+            each_bucket(0, lambda m, i2: start_in(m, i2, 0))
+
+        @pl.when(idx + 1 < total)
+        def _():
+            each_bucket(
+                idx + 1, lambda m, i2: start_in(m, i2, (idx + 1) % 2)
+            )
+
+        each_bucket(idx, lambda m, i2: wait_in(m, i2, idx % 2))
+
+        wslot = idx % WS
+
+        @pl.when(idx >= WS)
+        def _():
+            each_bucket(
+                idx - WS,
+                lambda m, i2: [c.wait() for c in write_copies(m, i2, wslot)],
+            )
+
+        def compute(m, idx2):
+            islot = idx % 2
+            q = qbuf[islot].astype(jnp.float32)
+            if init:
+                x = [jnp.zeros_like(q) for _ in range(m.d)]
+                tot = q
+            else:
+                x = [
+                    in_buf[islot, t].astype(jnp.float32)
+                    for t in range(m.d)
+                ]
+                tot = q
+                for t in range(m.d):
+                    tot = tot + x[t]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
+            for t in range(m.d):
+                e = m.ebase + (g - m.g0) * m.d + t
+                o = _roll(tot - x[t], rot_ref[e])
+                o = jnp.where(lane == mask_ref[e], big, o)
+                obuf[wslot, t] = o.astype(dtype)
+            bbuf[wslot] = (tot <= 0.0).astype(jnp.int8)
+            for c in write_copies(m, idx2, wslot):
+                c.start()
+
+        each_bucket(idx, compute)
+
+        @pl.when(idx == total - 1)
+        def _():
+            for j in range(min(WS, total)):
+                i2 = total - 1 - j
+                each_bucket(
+                    i2,
+                    lambda m, i2=i2: [
+                        c.wait() for c in write_copies(m, i2, i2 % WS)
+                    ],
+                )
+
+    return _phase_call(
+        kernel=kernel,
+        grid=(nbt, VG),
+        num_prefetch=4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 if init else 2),
+        out_shape=[
+            jax.ShapeDtypeStruct((nbt, E, Z, Bt), dtype),
+            jax.ShapeDtypeStruct((nbt, VG, Z, Bt), jnp.int8),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, max(dmax, 1), Z, Bt), dtype),
+            pltpu.VMEM((2, Z, Bt), dtype),
+            pltpu.VMEM((WS, max(dmax, 1), Z, Bt), dtype),
+            pltpu.VMEM((WS, Z, Bt), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((WS, dmax + 1)),
+        ],
+        args=(
+            jnp.asarray(layout.var_cs),
+            jnp.asarray(layout.var_dest),
+            jnp.asarray(layout.var_rot),
+            jnp.asarray(layout.var_omask),
+        )
+        + (() if init else (c2v,))
+        + (q_tiled,),
+    )
+
+
+def fused_syndrome_bits(bits, layout: FusedLayout):
+    """Syndrome from hard-decision bit planes: (nbt, VG, Z, Bt) int8 ->
+    (nbt, 8, Bt) int8 "this frame has an unsatisfied check" flags.
+
+    Holds the whole tile's bit planes in VMEM and XOR-folds rolled planes
+    per check group, fully unrolled with *static* roll amounts (a static
+    `pltpu.roll` is a single rotate op; the dynamic form lowers to a
+    log-step cascade that measured ~10x slower and dominated the
+    iteration). Unsatisfied-parity planes OR together and reduce to one
+    flag row per frame.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbt, VG, Z, Bt = bits.shape
+    metas = layout.chk_meta
+
+    def kernel(bits_ref, out_ref, fbuf):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
+        # one int8 -> f32 relayout per var group (not per edge: the
+        # per-edge upcast was 3.5x more relayout work and dominated)
+        for vg in range(VG):
+            fbuf[vg] = bits_ref[0, vg].astype(jnp.float32)
+        acc = None
+        for m in metas:
+            for gi in range(m.g0, m.g1):
+                par = None
+                for t in range(m.d):
+                    e = m.ebase + (gi - m.g0) * m.d + t
+                    vg = int(layout.syn_vg[e])
+                    rot = int(layout.syn_rot[e])
+                    mask = int(layout.syn_mask[e])
+                    b = fbuf[vg]
+                    if rot:
+                        b = pltpu.roll(b, rot, 0)
+                    if mask >= 0:
+                        b = jnp.where(lane == mask, 0.0, b)
+                    par = b if par is None else par + b
+                if par is None:
+                    continue
+                # parity of a small exact integer sum (d <= MAX_DEGREE)
+                odd = par - 2.0 * jnp.floor(par * 0.5)
+                acc = odd if acc is None else jnp.maximum(acc, odd)
+        if acc is None:
+            out_ref[...] = jnp.zeros_like(out_ref)
+            return
+        bad = (jnp.max(acc, axis=0, keepdims=True) > 0.5).astype(jnp.int8)
+        out_ref[0] = jnp.broadcast_to(bad, (8, Bt))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nbt,),
+        in_specs=[
+            pl.BlockSpec((1, VG, Z, Bt), lambda bt: (bt, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, Bt), lambda bt: (bt, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbt, 8, Bt), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((VG, Z, Bt), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=None
+        if _interpret()
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(bits)

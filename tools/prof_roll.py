@@ -72,7 +72,8 @@ def make(mode):
         scratch_shapes=[pltpu.VMEM((2,d,Z+align,Bt), dtype), pltpu.SemaphoreType.DMA((2,d))])
     f = pl.pallas_call(make_kernel:=body, grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((nbt,G,Z,Bt), dtype))
-    return jax.jit(lambda: f(jnp.asarray(planes), jnp.asarray(shifts), src))
+    jf = jax.jit(lambda s: f(jnp.asarray(planes), jnp.asarray(shifts), s))
+    return lambda: jf(src)
 
 for mode in ["dma","roll0","switch","dynroll"]:
     try:
