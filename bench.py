@@ -24,7 +24,8 @@ CACHE = pathlib.Path(__file__).parent / ".bench_baseline.json"
 CODE_NAME = "R1_2"
 EBN0_DB = 1.0
 MAX_ITERS = 30
-DECODER = "Minsumbf16"
+# override with e.g. BENCH_DECODER=Minstarapproxi8 for the i8 fast path
+DECODER = os.environ.get("BENCH_DECODER", "Minsumbf16")
 
 
 def build(code_name: str):
@@ -120,7 +121,7 @@ def main():
     result = {
         "metric": (
             f"decoded info throughput, DVB-S2 {CODE_NAME} n={code.n} "
-            f"min-sum flooding {MAX_ITERS} iters @ {EBN0_DB} dB"
+            f"{DECODER} flooding {MAX_ITERS} iters @ {EBN0_DB} dB"
         ),
         "value": round(mbps, 1),
         "unit": "Mbit/s",

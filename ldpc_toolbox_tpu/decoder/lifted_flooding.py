@@ -57,13 +57,23 @@ def lifted_flooding_decode(
 
     ``fused=True`` runs the v2 Pallas fused phase kernels
     (ops/fused_bp2.py): messages are stored consumer-major pre-rolled,
-    each phase is one kernel over all node groups — min-sum arithmetic
-    only, float storage, any batch size (padded to a 128 multiple
-    internally). The default path uses the rolled plane gather + the
-    generic arithmetic (any of the 38 rules).
+    each phase is one kernel over all node groups — min-sum (float
+    storage) and the i8 Minstarapprox/Aminstar families (int8 storage),
+    any batch size (padded to a 128 multiple internally). Arithmetics or
+    graphs without a fused implementation fall back to the plane-gather
+    path below, which handles all 38 rules.
     """
     if fused:
-        return _fused_minsum_decode(lg, arithmetic, llrs, max_iterations)
+        from ..ops.fused_bp2 import rule_for
+
+        rule = rule_for(arithmetic)
+        if rule is not None:
+            try:
+                return _fused_flooding_decode(
+                    lg, arithmetic, rule, llrs, max_iterations
+                )
+            except ValueError:
+                pass  # multi-lane circulant gaps etc.: unfused fallback
     Z = lg.Z
     B = llrs.shape[0]
     vb, cb = lg.var_buckets, lg.chk_buckets
@@ -213,8 +223,10 @@ def lifted_flooding_decode(
     }
 
 
-def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int):
-    """Min-sum flooding via the v2 fused Pallas phase kernels.
+def _fused_flooding_decode(
+    lg: LiftedGraph, arithmetic, rule, llrs, max_iterations: int
+):
+    """Flooding via the v2 fused Pallas phase kernels.
 
     Messages are stored consumer-major and pre-rolled (ops/fused_bp2.py):
     check reads v2c as contiguous slabs, writes c2v scattered var-major;
@@ -242,19 +254,31 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
         )
     B = llrs.shape[0]
     layout = build_fused_layout(lg)
-    scale = float(getattr(arithmetic, "scale", 1.0))
-    dtype = arithmetic.storage_dtype
-    assert jnp.issubdtype(dtype, jnp.floating), "fused path is float-only"
-    big = float(jnp.finfo(dtype).max)
+    if (
+        layout.max_chk_degree > rule.max_check_degree
+        or layout.max_var_degree > rule.max_var_degree
+    ):
+        raise ValueError("node degree too large for the fused kernels")
+    store = rule.storage_dtype
     nbt = B // BT
     VG, E = layout.VG, layout.E
 
     col_of = lg.var_cols[lg.var_group_order]  # (VG, Z) original column
-    llr_planes = (
-        llrs.astype(dtype)
-        .T[jnp.asarray(col_of.reshape(-1))]
-        .reshape(VG, Z, B)
-    )
+    if jnp.issubdtype(store, jnp.floating):
+        # cast before the gather: halves its traffic, quantize is identity
+        llr_planes = (
+            llrs.astype(store)
+            .T[jnp.asarray(col_of.reshape(-1))]
+            .reshape(VG, Z, B)
+        )
+        q_planes = llr_planes
+    else:
+        llr_planes = (
+            llrs.astype(jnp.float32)
+            .T[jnp.asarray(col_of.reshape(-1))]
+            .reshape(VG, Z, B)
+        )
+        q_planes = arithmetic.quantize(llr_planes).astype(store)
 
     def tile(x):  # (P, Z, B) -> (nbt, P, Z, Bt)
         P = x.shape[0]
@@ -264,10 +288,13 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
         P = x.shape[1]
         return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
-    q_tiled = tile(llr_planes)
+    q_tiled = tile(q_planes)
 
-    # flooding init in-kernel: v2c0[e] = roll(q[vg], s) + pokes, bits0
-    v2c0_t, bits0 = fused_var(None, q_tiled, layout)
+    # flooding init in-kernel: v2c0[e] = roll(q[vg], s) + pokes
+    v2c0_t, _bits_q0 = fused_var(None, q_tiled, layout, rule)
+    # iteration-0 convergence tests the *raw* channel hard decisions
+    # (flooding.rs:56-64 checks the unquantized input llrs)
+    bits0 = tile((llr_planes <= 0).astype(jnp.int8))
 
     def flags_to_ok(flags):  # (nbt, 8, Bt) -> (B,) all checks satisfied
         return flags[:, 0, :].reshape(-1) == 0
@@ -276,8 +303,8 @@ def _fused_minsum_decode(lg: LiftedGraph, arithmetic, llrs, max_iterations: int)
 
     def body(state):
         it, v2c_t, _bits, converged, iters, frozen = state
-        c2v_t = fused_check(v2c_t, layout, scale=scale)
-        v2c_t, bits = fused_var(c2v_t, q_tiled, layout)
+        c2v_t = fused_check(v2c_t, layout, rule)
+        v2c_t, bits = fused_var(c2v_t, q_tiled, layout, rule)
         ok = flags_to_ok(fused_syndrome_bits(bits, layout))
         newly = ok & ~converged
         it = it + 1

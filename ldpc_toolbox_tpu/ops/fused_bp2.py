@@ -53,6 +53,10 @@ __all__ = [
     "fused_check",
     "fused_var",
     "fused_syndrome_bits",
+    "rule_for",
+    "MinSumRule",
+    "MinstarApproxI8Rule",
+    "AminstarI8Rule",
 ]
 
 #: batch-tile width (one VPU lane group)
@@ -60,7 +64,7 @@ BT = 128
 #: write-DMA slots (in-flight scattered plane writes per kernel)
 WS = 3
 #: largest slab degree the kernels hold in VMEM at Bt=128
-MAX_DEGREE = 16
+MAX_DEGREE = 36
 
 
 def _interpret() -> bool:
@@ -236,33 +240,209 @@ def _roll(x, amount):
     return pltpu.roll(x, amount, 0)
 
 
-def _minsum_rule(planes, scale, big):
-    """Leave-one-out min-sum: two-pass min1/min2/argmin/sign-parity fold.
+class MinSumRule:
+    """(Normalized) min-sum over float planes: two-pass
+    min1/min2/argmin/sign-parity fold. Mirrors the min-sum extension
+    semantics of decoder/arithmetic.py under batching."""
 
-    ``planes``: list of d (Z, Bt) float32.  Returns d output planes.
-    Mirrors reference arithmetic.rs min-sum semantics under batching.
-    """
-    d = len(planes)
-    mags = [jnp.abs(x) for x in planes]
-    negs = [x < 0 for x in planes]
-    m1 = mags[0]
-    m2 = jnp.full_like(m1, big)
-    arg = jnp.zeros(m1.shape, jnp.int32)
-    par = negs[0]
-    for k in range(1, d):
-        mk = mags[k]
-        m2 = jnp.minimum(m2, jnp.maximum(m1, mk))
-        take = mk < m1
-        m1 = jnp.where(take, mk, m1)
-        arg = jnp.where(take, k, arg)
-        par = par ^ negs[k]
-    outs = []
-    for t in range(d):
-        loo = jnp.where(arg == t, m2, m1)
-        if scale != 1.0:
-            loo = loo * jnp.float32(scale)
-        outs.append(jnp.where(par ^ negs[t], -loo, loo))
-    return outs
+    #: per-rule degree caps (VMEM / program-size bound)
+    max_check_degree = MAX_DEGREE
+    max_var_degree = MAX_DEGREE
+
+    def __init__(self, dtype, scale: float = 1.0):
+        self.storage_dtype = jnp.dtype(dtype)
+        self.compute_dtype = jnp.dtype(jnp.float32)
+        self.big = float(jnp.finfo(dtype).max)  # v2c missing-lane poke
+        self.scale = float(scale)
+
+    def check(self, planes):
+        d = len(planes)
+        mags = [jnp.abs(x) for x in planes]
+        negs = [x < 0 for x in planes]
+        m1 = mags[0]
+        m2 = jnp.full_like(m1, self.big)
+        arg = jnp.zeros(m1.shape, jnp.int32)
+        par = negs[0]
+        for k in range(1, d):
+            mk = mags[k]
+            m2 = jnp.minimum(m2, jnp.maximum(m1, mk))
+            take = mk < m1
+            m1 = jnp.where(take, mk, m1)
+            arg = jnp.where(take, k, arg)
+            par = par ^ negs[k]
+        outs = []
+        for t in range(d):
+            loo = jnp.where(arg == t, m2, m1)
+            if self.scale != 1.0:
+                loo = loo * jnp.float32(self.scale)
+            outs.append(jnp.where(par ^ negs[t], -loo, loo))
+        return outs
+
+    def var(self, q, xs, degree):
+        tot = q
+        for x in xs:
+            tot = tot + x
+        return [tot - x for x in xs], tot
+
+
+def _i8_thresholds():
+    """The <=127-entry i8 correction table (arithmetic.rs:589-602) as
+    compare thresholds: table[t] == sum_k [t <= T_k] because the table is
+    non-increasing — an exact in-kernel lookup with ~6 compares instead
+    of a VPU gather."""
+    from ..decoder.arithmetic import i8_correction_table
+
+    tab = i8_correction_table()
+    assert (np.diff(tab) <= 0).all()
+    return [int(np.max(np.nonzero(tab >= k)[0])) for k in range(1, int(tab[0]) + 1)]
+
+
+def _phl(x):
+    """Partial hard limit (arithmetic.rs:812-824)."""
+    return jnp.where(x <= -100, -127, jnp.where(x >= 100, 127, x))
+
+
+class _I8RuleBase:
+    """Shared i8 plumbing: int8 storage, int32 lanes, reference clips
+    (arithmetic.rs:585-897). ``jones``/``hard_limit``/``deg1_clip`` match
+    the 8 reference variants per family."""
+
+    max_check_degree = MAX_DEGREE
+    max_var_degree = MAX_DEGREE
+
+    def __init__(self, jones=False, hard_limit=False, deg1_clip=False):
+        self.storage_dtype = jnp.dtype(jnp.int8)
+        self.compute_dtype = jnp.dtype(jnp.int32)
+        self.big = 127  # v2c missing-lane poke (one-lane i8 approximation)
+        self.jones = jones
+        self.hard_limit = hard_limit
+        self.deg1_clip = deg1_clip
+        self.thr = _i8_thresholds()
+
+    def _tab(self, t):
+        c = None
+        for T in self.thr:
+            term = (t <= T).astype(jnp.int32)
+            c = term if c is None else c + term
+        return c
+
+    def var(self, q, xs, degree):
+        inp = jnp.clip(q, -116, 116) if (self.deg1_clip and degree == 1) else q
+        tot = inp
+        for x in xs:
+            tot = tot + x
+        if self.jones:
+            tot = jnp.clip(tot, -127, 127)
+        return [jnp.clip(tot - x, -127, 127) for x in xs], tot
+
+
+class MinstarApproxI8Rule(_I8RuleBase):
+    """Quantized pairwise min* (arithmetic.rs:718-754): exact left-fold
+    order via prefix reuse — bit-identical to the unfused
+    MinstarApproxI8Arithmetic fold sequence."""
+
+    # the exact-order leave-one-out fold is O(d^2): cap the unrolled
+    # program size (wider checks fall back to the plane-gather path)
+    max_check_degree = 16
+
+    def _fold(self, a, b):
+        return jnp.maximum(
+            jnp.minimum(a, b) - self._tab(jnp.abs(a - b)), 0
+        )
+
+    def check(self, planes):
+        d = len(planes)
+        mags = [jnp.abs(x) for x in planes]
+        negs = [x < 0 for x in planes]
+        par = negs[0]
+        for k in range(1, d):
+            par = par ^ negs[k]
+        pre = [None] * d
+        acc = None
+        for t in range(d):
+            pre[t] = acc
+            acc = mags[t] if acc is None else self._fold(acc, mags[t])
+        outs = []
+        for t in range(d):
+            a = pre[t]
+            for k in range(t + 1, d):
+                a = mags[k] if a is None else self._fold(a, mags[k])
+            if a is None:  # degree-1 check: no other edges
+                a = jnp.zeros_like(mags[t])
+            o = jnp.where(par ^ negs[t], -a, a)
+            if self.hard_limit:
+                o = _phl(o)
+            outs.append(o)
+        return outs
+
+
+class AminstarI8Rule(_I8RuleBase):
+    """Quantized A-Min*-BP (arithmetic.rs:1129-1192): full min* fold over
+    the non-minimum edges; min edge gets the fold, others share
+    min*(fold, vmin). First-minimum argmin matches jnp.argmin."""
+
+    def _minstar_full(self, a, b):
+        return jnp.maximum(
+            jnp.minimum(a, b)
+            - self._tab(jnp.abs(a - b))
+            + self._tab(jnp.minimum(a + b, 127)),
+            0,
+        )
+
+    def check(self, planes):
+        d = len(planes)
+        mags = [jnp.abs(x) for x in planes]
+        negs = [x < 0 for x in planes]
+        par = negs[0]
+        for k in range(1, d):
+            par = par ^ negs[k]
+        m1 = mags[0]
+        arg = jnp.zeros(m1.shape, jnp.int32)
+        for k in range(1, d):
+            take = mags[k] < m1
+            m1 = jnp.where(take, mags[k], m1)
+            arg = jnp.where(take, k, arg)
+        acc = jnp.zeros_like(m1)
+        cnt = jnp.zeros(m1.shape, jnp.int32)
+        for k in range(d):
+            elig = arg != k
+            first = elig & (cnt == 0)
+            folded = self._minstar_full(acc, mags[k])
+            acc = jnp.where(first, mags[k], jnp.where(elig, folded, acc))
+            cnt = cnt + elig.astype(jnp.int32)
+        d_min = _phl(acc) if self.hard_limit else acc
+        d_oth = self._minstar_full(acc, m1)
+        if self.hard_limit:
+            d_oth = _phl(d_oth)
+        outs = []
+        for t in range(d):
+            mag = jnp.where(arg == t, d_min, d_oth)
+            outs.append(jnp.where(par ^ negs[t], -mag, mag))
+        return outs
+
+
+def rule_for(arithmetic):
+    """Map a decoder.arithmetic instance to its fused kernel rule, or
+    None when the arithmetic has no fused implementation."""
+    from ..decoder.arithmetic import (
+        AminstarI8Arithmetic,
+        MinSumArithmetic,
+        MinstarApproxI8Arithmetic,
+    )
+
+    if isinstance(arithmetic, MinSumArithmetic):
+        return MinSumRule(
+            arithmetic.storage_dtype, getattr(arithmetic, "scale", 1.0)
+        )
+    if isinstance(arithmetic, MinstarApproxI8Arithmetic):
+        return MinstarApproxI8Rule(
+            arithmetic.jones, arithmetic.hard_limit, arithmetic.deg1_clip
+        )
+    if isinstance(arithmetic, AminstarI8Arithmetic):
+        return AminstarI8Rule(
+            arithmetic.jones, arithmetic.hard_limit, arithmetic.deg1_clip
+        )
+    return None
 
 
 def _phase_call(
@@ -299,12 +479,12 @@ def _phase_call(
     )(*args)
 
 
-def fused_check(v2c, layout: FusedLayout, *, scale: float = 1.0):
+def fused_check(v2c, layout: FusedLayout, rule):
     """Check phase: v2c (nbt, E, Z, Bt) -> c2v (nbt, E, Z, Bt).
 
     Reads contiguous (d, Z, Bt) slabs per check group (double-buffered),
-    applies min-sum, rolls outputs into var coordinates, scatters them to
-    var-major positions.
+    applies ``rule.check`` in the rule's compute dtype, rolls outputs into
+    var coordinates, scatters them to var-major positions.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -315,7 +495,7 @@ def fused_check(v2c, layout: FusedLayout, *, scale: float = 1.0):
     metas = layout.chk_meta
     dmax = layout.max_chk_degree
     dtype = v2c.dtype
-    big = float(jnp.finfo(dtype).max)
+    compute = rule.compute_dtype
 
     def kernel(cs_ref, dest_ref, rot_ref, mask_ref, src_ref, out_ref,
                in_buf, obuf, sem_in, sem_out):
@@ -381,20 +561,20 @@ def fused_check(v2c, layout: FusedLayout, *, scale: float = 1.0):
                 lambda m, i2: [c.wait() for c in write_copies(m, i2, wslot)],
             )
 
-        def compute(m, idx2):
+        def compute_fn(m, idx2):
             islot = idx % 2
-            x = [in_buf[islot, t].astype(jnp.float32) for t in range(m.d)]
-            outs = _minsum_rule(x, scale, big)
+            x = [in_buf[islot, t].astype(compute) for t in range(m.d)]
+            outs = rule.check(x)
             lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
                 o = _roll(outs[t], rot_ref[e])
-                o = jnp.where(lane == mask_ref[e], 0.0, o)
+                o = jnp.where(lane == mask_ref[e], 0, o)
                 obuf[wslot, t] = o.astype(dtype)
             for c in write_copies(m, idx2, wslot):
                 c.start()
 
-        each_bucket(idx, compute)
+        each_bucket(idx, compute_fn)
 
         # drain all in-flight writes at the last step
         @pl.when(idx == total - 1)
@@ -431,17 +611,18 @@ def fused_check(v2c, layout: FusedLayout, *, scale: float = 1.0):
     )
 
 
-def fused_var(c2v, q_tiled, layout: FusedLayout):
+def fused_var(c2v, q_tiled, layout: FusedLayout, rule):
     """Variable phase: c2v (nbt, E, Z, Bt) + q (nbt, VG, Z, Bt) ->
     (v2c (nbt, E, Z, Bt), bits (nbt, VG, Z, Bt) int8).
 
-    Sum-minus-own variable rule (reference arithmetic.rs:140-156); v2c
-    outputs are rolled into check coordinates and scattered check-major;
+    ``rule.var`` applies the sum-minus-own variable rule (reference
+    arithmetic.rs:140-156, i8 clips arithmetic.rs:622-654); v2c outputs
+    are rolled into check coordinates and scattered check-major;
     hard-decision bit planes stay in var coordinates.
 
-    ``c2v=None`` runs the *init* variant (all check messages zero): it
-    emits v2c0[e] = roll(q[vg], s) with the missing-lane pokes and the
-    iteration-0 hard decisions — the flooding initialization
+    ``c2v=None`` runs the *init* variant: it emits v2c0[e] = roll(q[vg],
+    s) exactly (no variable-rule clips, matching the unfused v2c0) with
+    the missing-lane pokes — the flooding initialization
     (flooding.rs:88-100) — without the 232 MB XLA gather+transpose the
     naive prologue costs.
     """
@@ -456,7 +637,8 @@ def fused_var(c2v, q_tiled, layout: FusedLayout):
     metas = layout.var_meta
     dmax = layout.max_var_degree
     dtype = q_tiled.dtype
-    big = float(jnp.finfo(dtype).max)
+    compute = rule.compute_dtype
+    big = rule.big
 
     def kernel(cs_ref, dest_ref, rot_ref, mask_ref, *refs):
         if init:
@@ -549,31 +731,25 @@ def fused_var(c2v, q_tiled, layout: FusedLayout):
                 lambda m, i2: [c.wait() for c in write_copies(m, i2, wslot)],
             )
 
-        def compute(m, idx2):
+        def compute_fn(m, idx2):
             islot = idx % 2
-            q = qbuf[islot].astype(jnp.float32)
+            q = qbuf[islot].astype(compute)
             if init:
-                x = [jnp.zeros_like(q) for _ in range(m.d)]
-                tot = q
+                outs, tot = [q] * m.d, q
             else:
-                x = [
-                    in_buf[islot, t].astype(jnp.float32)
-                    for t in range(m.d)
-                ]
-                tot = q
-                for t in range(m.d):
-                    tot = tot + x[t]
+                x = [in_buf[islot, t].astype(compute) for t in range(m.d)]
+                outs, tot = rule.var(q, x, m.d)
             lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
-                o = _roll(tot - x[t], rot_ref[e])
+                o = _roll(outs[t], rot_ref[e])
                 o = jnp.where(lane == mask_ref[e], big, o)
                 obuf[wslot, t] = o.astype(dtype)
-            bbuf[wslot] = (tot <= 0.0).astype(jnp.int8)
+            bbuf[wslot] = (tot <= 0).astype(jnp.int8)
             for c in write_copies(m, idx2, wslot):
                 c.start()
 
-        each_bucket(idx, compute)
+        each_bucket(idx, compute_fn)
 
         @pl.when(idx == total - 1)
         def _():

@@ -163,14 +163,16 @@ class BerTest:
             p.decoder_implementation
         )
         if p.lifted_graph is not None and self.schedule == "flooding":
-            from ..decoder.arithmetic import MinSumArithmetic
             from ..decoder.lifted_flooding import lifted_flooding_decode
+            from ..ops.fused_bp2 import rule_for
             from functools import partial as _partial
 
+            # fused v2 kernels on TPU for every arithmetic with a fused
+            # rule (min-sum + the i8 families); any batch size (the
+            # decode pads to a 128 multiple internally)
             fused = (
-                isinstance(self.arithmetic, MinSumArithmetic)
+                rule_for(self.arithmetic) is not None
                 and jax.default_backend() != "cpu"
-                and p.batch_size % 128 == 0
             )
             self.graph = p.lifted_graph
             self._decode = _partial(

@@ -197,3 +197,35 @@ def test_fused_matches_plane_gather_path(batch):
         np.asarray(o1["codeword"])[s1], np.asarray(o2["codeword"])[s1]
     )
     assert s1.sum() >= int(0.78 * batch)
+
+
+@pytest.mark.parametrize(
+    "decoder",
+    [
+        "Minstarapproxi8",
+        "Minstarapproxi8PartialHardLimit",
+        "Aminstari8",
+        "Aminstari8JonesPartialHardLimitDeg1Clip",
+    ],
+)
+def test_fused_i8_matches_plane_gather_path(decoder):
+    """The fused int8 kernels must reproduce the unfused i8 decode
+    bit-exactly: identical success masks, iteration counts, and
+    codewords for ALL frames (the i8 fold order is replicated exactly,
+    so even unconverged posteriors agree)."""
+    code = DvbCode.R1_4short  # two check buckets, three var buckets
+    h = code.h()
+    lg, _ = _lifted_for(code)
+    msgs, llr = _noisy_codeword_llrs(h, 128, 0.85, seed=2)
+    _, a = make_arithmetic(decoder)
+    o1 = lifted_flooding_decode(lg, a, llr, 12, use_pallas=False)
+    o2 = lifted_flooding_decode(lg, a, llr, 12, fused=True)
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+    assert 5 <= s1.sum()
