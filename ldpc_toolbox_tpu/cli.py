@@ -263,7 +263,10 @@ def _resolve_ber_code(spec: str):
     from .sparse import SparseMatrix
 
     if os.path.exists(spec) or ":" not in spec and spec != "ccsds-c2":
-        return SparseMatrix.from_alist_file(spec), None
+        try:
+            return SparseMatrix.from_alist_file(spec), None
+        except (FileNotFoundError, ValueError) as e:
+            _die(f"cannot read alist {spec!r}: {e}")
     parts = spec.split(":")
     if parts[0] == "dvbs2":
         from .codes.dvbs2 import Code
@@ -308,7 +311,10 @@ def run_ber(args) -> None:
         )
     except ValueError as e:
         _die(str(e))
-    h, lifted = _resolve_ber_code(args.alist)
+    try:
+        h, lifted = _resolve_ber_code(args.alist)
+    except (KeyError, ValueError, IndexError) as e:
+        _die(f"invalid code spec {args.alist!r}: {e!r}")
     if args.no_lifted:
         lifted = None
     num_ebn0s = int((args.max_ebn0 - args.min_ebn0) / args.step_ebn0) + 1
@@ -350,9 +356,13 @@ def run_ber(args) -> None:
         if f:
             f.write(_BER_HEADER + "\n")
 
+    try:
+        modulation = Modulation.parse(args.modulation)
+    except ValueError as e:
+        _die(str(e))
     test = BerTestBuilder(
         h=h,
-        modulation=Modulation.parse(args.modulation),
+        modulation=modulation,
         decoder_implementation=args.decoder,
         puncturing_pattern=puncturing,
         interleaving_columns=args.interleaving,
@@ -369,9 +379,23 @@ def run_ber(args) -> None:
         lifted_graph=lifted,
         checkpoint_path=args.checkpoint,
         profile_dir=args.profile_dir,
-    ).build()
+    )
+    try:
+        test = test.build()
+    except (ValueError, KeyError) as e:
+        _die(str(e))
     try:
         test.run()
+    except KeyboardInterrupt:
+        # reference traps Ctrl-C to restore the terminal (cli/ber.rs:
+        # 254-261); here the sweep additionally left a resumable
+        # checkpoint before unwinding
+        sys.stdout.write("\n")
+        msg = "interrupted"
+        if args.checkpoint:
+            msg += f"; resume with --checkpoint {args.checkpoint}"
+        print(msg, file=sys.stderr)
+        sys.exit(130)
     finally:
         for f in (out_file, out_file_ldpc):
             if f:

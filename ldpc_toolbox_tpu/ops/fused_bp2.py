@@ -284,6 +284,13 @@ class MinSumRule:
             tot = tot + x
         return [tot - x for x in xs], tot
 
+    # layered-schedule helpers (horizontal_layered.rs:105-110)
+    def layered_x(self, qv, rold):
+        return qv - rold
+
+    def qv_dtype(self, arithmetic):
+        return jnp.dtype(arithmetic.var_llr_storage_dtype)
+
 
 def _i8_thresholds():
     """The <=127-entry i8 correction table (arithmetic.rs:589-602) as
@@ -334,6 +341,13 @@ class _I8RuleBase:
         if self.jones:
             tot = jnp.clip(tot, -127, 127)
         return [jnp.clip(tot - x, -127, 127) for x in xs], tot
+
+    # layered: x = clip(Qv - Rcv) with i16 posteriors (arithmetic.rs:684-688)
+    def layered_x(self, qv, rold):
+        return jnp.clip(qv - rold, -127, 127)
+
+    def qv_dtype(self, arithmetic):
+        return jnp.dtype(jnp.int16)
 
 
 class MinstarApproxI8Rule(_I8RuleBase):

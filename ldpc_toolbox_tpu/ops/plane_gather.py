@@ -98,7 +98,7 @@ def _pallas_plane_gather(src, planes_flat, shifts_flat, Z, B, n_out):
         num_scalar_prefetch=2,
         grid=(n_out,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays off-chip
         ],
         out_specs=pl.BlockSpec(
             (1, Z, B), lambda g, planes, shifts: (g, 0, 0)

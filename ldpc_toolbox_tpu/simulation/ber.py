@@ -162,8 +162,12 @@ class BerTest:
         self.schedule, self.arithmetic = make_arithmetic(
             p.decoder_implementation
         )
-        if p.lifted_graph is not None and self.schedule == "flooding":
+        if p.lifted_graph is not None and self.schedule in (
+            "flooding",
+            "layered",
+        ):
             from ..decoder.lifted_flooding import lifted_flooding_decode
+            from ..decoder.lifted_layered import lifted_layered_decode
             from ..ops.fused_bp2 import rule_for
             from functools import partial as _partial
 
@@ -175,9 +179,12 @@ class BerTest:
                 and jax.default_backend() != "cpu"
             )
             self.graph = p.lifted_graph
-            self._decode = _partial(
-                lifted_flooding_decode, fused=fused, use_pallas=False
-            )
+            if self.schedule == "flooding":
+                self._decode = _partial(
+                    lifted_flooding_decode, fused=fused, use_pallas=False
+                )
+            else:
+                self._decode = _partial(lifted_layered_decode, fused=fused)
         else:
             self.graph = DecodeGraph.from_sparse(h)
             self._decode = (
@@ -375,7 +382,9 @@ class BerTest:
                 profile_cm = jax.profiler.trace(p.profile_dir)
             else:
                 profile_cm = contextlib.nullcontext()
+            interrupted = False
             with profile_cm:
+              try:
                 while True:
                     elapsed = time.monotonic() - start
                     errors = (
@@ -410,8 +419,23 @@ class BerTest:
                                     point, counters, step_idx, now - start
                                 )
                             )
+              except KeyboardInterrupt:
+                  # graceful Ctrl-C (reference cli/ber.rs:254-261): drain
+                  # the pipeline, leave a resumable checkpoint, unwind
+                  interrupted = True
             for d in in_flight:
                 counters.add(jax.device_get(d))
+            if interrupted:
+                if p.checkpoint_path:
+                    self._save_checkpoint(
+                        self._checkpoint_state(
+                            point,
+                            counters,
+                            step_idx,
+                            time.monotonic() - start,
+                        )
+                    )
+                raise KeyboardInterrupt
             stats = self._point_statistics(
                 counters, ebn0_db, time.monotonic() - start
             )

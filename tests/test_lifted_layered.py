@@ -1,0 +1,147 @@
+"""Lifted horizontal-layered schedule: fused-vs-jnp equivalence, scalar
+serial oracle in layer order, and the convergence-speed property."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ldpc_toolbox_tpu.codes.dvbs2 import Code as DvbCode
+from ldpc_toolbox_tpu.codes.nr5g import BaseGraph
+from ldpc_toolbox_tpu.decoder.factory import make_arithmetic
+from ldpc_toolbox_tpu.decoder.lifted import (
+    LiftedGraph,
+    lifted_graph_for,
+    nr5g_maps,
+)
+from ldpc_toolbox_tpu.decoder.lifted_flooding import lifted_flooding_decode
+from ldpc_toolbox_tpu.decoder.lifted_layered import lifted_layered_decode
+from ldpc_toolbox_tpu.ops.fused_bp2 import build_fused_layout
+
+
+def _llrs(n, batch, sigma, seed):
+    rng = np.random.default_rng(seed)
+    x = -1.0 + sigma * rng.standard_normal((batch, n))
+    return jnp.asarray((-2.0 / sigma**2) * x, jnp.float32)
+
+
+@pytest.mark.parametrize("decoder", ["Minsumf32", "Minstarapproxi8"])
+def test_fused_layered_matches_jnp(decoder):
+    """The fused layered kernel must reproduce the jnp lifted-layered
+    reference bit-exactly (same layer order, fold order, wrap/clip
+    semantics) — including frames that do not converge."""
+    code = DvbCode.R1_4short  # has duplicate (vg,cg) pairs in a layer
+    lg = lifted_graph_for(code)
+    llr = _llrs(code.n, 128, 0.9, seed=5)
+    _, a = make_arithmetic(decoder)
+    o1 = lifted_layered_decode(lg, a, llr, 8)
+    o2 = lifted_layered_decode(lg, a, llr, 8, fused=True)
+    np.testing.assert_array_equal(
+        np.asarray(o1["success"]), np.asarray(o2["success"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+    assert np.asarray(o1["success"]).sum() >= 100
+
+
+def _scalar_layered_minsum(h_dense, llr, layer_rows, max_iter):
+    """Serial per-check horizontal-layered min-sum oracle
+    (horizontal_layered.rs:49-110) processing checks in the given row
+    order; float32 scalar arithmetic (matches the jnp path bitwise on a
+    duplicate-free code), min-sum check rule."""
+    m, n = h_dense.shape
+    qv = llr.astype(np.float32).copy()
+    rcv = {}
+    rows_vars = [np.nonzero(h_dense[r])[0] for r in range(m)]
+
+    def check_ok(hard):
+        return not ((h_dense @ hard) % 2).any()
+
+    hard = (qv <= 0).astype(np.uint8)
+    if check_ok(hard):
+        return hard, 0, True
+    for it in range(1, max_iter + 1):
+        for r in layer_rows:
+            vs = rows_vars[r]
+            x = np.array(
+                [qv[v] - rcv.get((r, v), np.float32(0)) for v in vs],
+                np.float32,
+            )
+            mags = np.abs(x)
+            signs = np.sign(x) + (x == 0)  # zero counts as +
+            par = np.prod(signs)
+            order = np.argsort(mags, kind="stable")
+            m1, m2 = mags[order[0]], mags[order[1]]
+            for i, v in enumerate(vs):
+                loo = m2 if i == order[0] else m1
+                rnew = (par * signs[i]) * loo
+                qv[v] += rnew - rcv.get((r, v), np.float32(0))
+                rcv[(r, v)] = rnew
+        hard = (qv <= 0).astype(np.uint8)
+        if check_ok(hard):
+            return hard, it, True
+    return hard, max_iter, False
+
+
+def test_jnp_layered_matches_scalar_oracle():
+    """On a code with complete circulants and no duplicate (vg, cg)
+    pairs, the lifted layer-parallel sweep equals the serial per-check
+    sweep in layer order: validate against a scalar min-sum oracle."""
+    bg = BaseGraph.BG2
+    z = 16
+    vm, cm, Z, nvg, ncg = nr5g_maps(bg, z)
+    h = bg.h(z)
+    lg = LiftedGraph.from_sparse(h, vm, cm, Z, nvg, ncg)
+    pairs = list(zip(lg.edge_vg.tolist(), lg.edge_cg.tolist()))
+    assert len(pairs) == len(set(pairs)), "oracle needs no duplicates"
+    assert not lg.missing
+
+    # map flat group index -> original check group id (bucket order)
+    group_ids = np.concatenate(
+        [b.groups for b in lg.chk_buckets if len(b.groups)]
+    )
+    layer_rows = [
+        cg * Z + lane for cg in group_ids for lane in range(Z)
+    ]
+
+    dense = np.zeros((h.num_rows, h.num_cols), np.int64)
+    for r, c in h.iter_all():
+        dense[r, c] = 1
+
+    batch = 6
+    llr = _llrs(h.num_cols, batch, 0.62, seed=9)
+    _, a = make_arithmetic("Minsumf32")
+    out = lifted_layered_decode(lg, a, llr, 8)
+
+    llr_np = np.asarray(llr, np.float32)
+    for b in range(batch):
+        hard, iters, ok = _scalar_layered_minsum(
+            dense, llr_np[b], layer_rows, 8
+        )
+        assert ok == bool(np.asarray(out["success"])[b])
+        assert iters == int(np.asarray(out["iterations"])[b])
+        np.testing.assert_array_equal(
+            hard, np.asarray(out["codeword"])[b]
+        )
+
+
+def test_layered_converges_faster_than_flooding():
+    """The reference's motivation for the layered schedule: ~2x fewer
+    iterations at the same quality (horizontal_layered.rs docs)."""
+    code = DvbCode.R1_4short
+    lg = lifted_graph_for(code)
+    llr = _llrs(code.n, 64, 0.9, seed=7)
+    _, a = make_arithmetic("Minsumf32")
+    ol = lifted_layered_decode(lg, a, llr, 20)
+    of = lifted_flooding_decode(lg, a, llr, 20, use_pallas=False)
+    sl = np.asarray(ol["success"])
+    sf = np.asarray(of["success"])
+    assert sl.sum() >= sf.sum()
+    both = sl & sf
+    il = np.asarray(ol["iterations"])[both].mean()
+    if_ = np.asarray(of["iterations"])[both].mean()
+    assert il <= 0.65 * if_, (il, if_)

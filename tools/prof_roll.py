@@ -67,7 +67,7 @@ def make(mode):
         out_ref[0,0,:,:] = acc.astype(out_ref.dtype)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(G, nbt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1,1,Z,Bt), lambda g,bt,p,s:(bt,g,0,0)),
         scratch_shapes=[pltpu.VMEM((2,d,Z+align,Bt), dtype), pltpu.SemaphoreType.DMA((2,d))])
     f = pl.pallas_call(make_kernel:=body, grid_spec=gs,
