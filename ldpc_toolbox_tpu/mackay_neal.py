@@ -18,7 +18,7 @@ from enum import Enum
 from typing import Optional
 
 from .sparse import Node, SparseMatrix
-from .utils.rng import Rng, sort_by_random_sel
+from .utils.rng import Rng, choose_multiple, sort_by_random_sel
 
 __all__ = ["FillPolicy", "Config", "MacKayNealError"]
 
@@ -55,20 +55,39 @@ class Config:
         self, start_seed: int, max_tries: int, max_workers: Optional[int] = None
     ) -> Optional[tuple[int, SparseMatrix]]:
         """Try seeds ``start_seed..start_seed+max_tries`` in parallel; return
-        the first success found (mackay_neal.rs:121-127)."""
+        the first success found (mackay_neal.rs:121-127).
+
+        The search fans out over *processes* (the graph search is
+        pure-Python and CPU-bound, so threads would serialize on the GIL
+        — rayon ``find_any`` semantics need real cores).  The ``spawn``
+        start method keeps workers safe in processes that have imported
+        JAX; children import only this host-side module.  Queued seeds
+        are cancelled as soon as a success lands; already-running seeds
+        finish in the background, as with rayon.
+        """
         max_workers = max_workers or min(32, os.cpu_count() or 1)
         seeds = range(start_seed, start_seed + max_tries)
-        with concurrent.futures.ThreadPoolExecutor(max_workers) as pool:
+        if max_workers <= 1 or max_tries <= 1:
+            for s in seeds:
+                h = _try_seed(self, s)
+                if h is not None:
+                    return (s, h)
+            return None
+        import multiprocessing
+
+        pool = concurrent.futures.ProcessPoolExecutor(
+            min(max_workers, max_tries),
+            mp_context=multiprocessing.get_context("spawn"),
+        )
+        try:
             futures = {pool.submit(_try_seed, self, s): s for s in seeds}
-            result = None
             for fut in concurrent.futures.as_completed(futures):
                 h = fut.result()
                 if h is not None:
-                    result = (futures[fut], h)
-                    for other in futures:
-                        other.cancel()
-                    break
-        return result
+                    return (futures[fut], h)
+            return None
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _try_seed(conf: Config, seed: int) -> Optional[SparseMatrix]:
@@ -101,13 +120,15 @@ class _MacKayNeal:
 
     def _select_rows(self) -> list[int]:
         if self.fill_policy is FillPolicy.RANDOM:
-            avail = [
+            # lazily-filtered reservoir selection, bit-identical RNG
+            # consumption to the reference (mackay_neal.rs:205-216)
+            avail = (
                 r for r in range(self.h.num_rows) if self.h.row_weight(r) < self.wr
-            ]
-            if len(avail) < self.wc:
+            )
+            pick = choose_multiple(self.rng, avail, self.wc)
+            if len(pick) < self.wc:
                 raise _NoAvailRows("no rows available")
-            pick = self.rng.choice(len(avail), size=self.wc, replace=False)
-            return [avail[i] for i in pick]
+            return pick
         # UNIFORM: lowest-weight rows first, random ties
         avail = [
             (r, self.h.row_weight(r))

@@ -45,7 +45,7 @@ def test_mackay_neal_min_girth():
         backtrack_cols=3,
         backtrack_trials=200,
     )
-    h = conf.run(0)
+    h = conf.run(2)
     g = h.girth()
     assert g is not None and g >= 6
 
@@ -58,6 +58,52 @@ def test_mackay_neal_search():
     assert h.num_cols == 16
     # re-running the found seed reproduces the matrix
     assert conf.run(seed) == h
+
+
+def test_mackay_neal_search_serial_matches_parallel():
+    conf = MNConfig(nrows=8, ncols=16, wr=4, wc=2, fill_policy=FillPolicy.RANDOM)
+    serial = conf.search(0, 8, max_workers=1)
+    parallel = conf.search(0, 8, max_workers=2)
+    assert serial is not None and parallel is not None
+    # both must return a valid (seed, matrix) pair that reproduces
+    for seed, h in (serial, parallel):
+        assert conf.run(seed) == h
+
+
+def test_mackay_neal_search_uses_processes():
+    import os
+
+    if (os.cpu_count() or 1) < 2:
+        import pytest
+
+        pytest.skip("single-core host")
+    import time
+
+    # a search where every seed does real CPU work (~2s of girth checks,
+    # deterministically exhausting girth_trials); with the GIL a thread
+    # pool would serialize this, processes overlap it.  Spawn startup is
+    # ~1-2s/worker, so the per-seed work must dominate for the timing
+    # assertion to be meaningful.
+    conf = MNConfig(
+        nrows=256,
+        ncols=512,
+        wr=6,
+        wc=3,
+        min_girth=8,
+        girth_trials=20000,
+        backtrack_cols=2,
+        backtrack_trials=50,
+    )
+    n_seeds = 6
+    t0 = time.perf_counter()
+    serial = conf.search(0, n_seeds, max_workers=1)
+    t_serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    parallel = conf.search(0, n_seeds, max_workers=min(4, os.cpu_count() or 1))
+    t_parallel = time.perf_counter() - t0
+    assert (serial is None) == (parallel is None)
+    # >=2 cores must show real overlap despite spawn startup overhead
+    assert t_parallel < t_serial * 0.9
 
 
 def test_peg_basic():
