@@ -6,16 +6,20 @@ and prints ONE JSON line::
 
     {"metric": ..., "value": N, "unit": "Mbit/s", "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md), so the baseline is a
-self-measured floor: the same decode workload on the host CPU backend (the
-reference is a CPU implementation; this is the "beat the host" ratio).
-The CPU floor is measured once and cached in ``.bench_baseline.json``.
+The reference publishes no numbers and its Rust toolchain is unavailable
+in this environment (BASELINE.md), so the baseline is the closest honest
+stand-in: the repo's C++ C-ABI shim (capi/), which reimplements the
+reference's scalar numeric semantics, driven by a multithreaded benchmark
+(capi/bench_capi.cpp) that mirrors the reference BER harness's threading
+model (one decoder per worker, num_cpus workers, ber.rs:574 throughput).
+``vs_baseline`` therefore means "TPU chip vs reference-semantics scalar
+C++ using every core of this host", measured once and cached in
+``.bench_baseline.json``.
 """
 
 import json
 import os
 import pathlib
-import sys
 import time
 from functools import partial
 
@@ -84,34 +88,43 @@ def measure(code, graph, batch: int, reps: int) -> float:
 
 
 def cpu_floor(code_name: str) -> float:
-    """Measure (or load cached) the same decode on the host CPU backend."""
+    """Measure (or load cached) the reference-semantics scalar C++ decode
+    on all host cores (capi/bench_capi.cpp)."""
     if CACHE.exists():
         data = json.loads(CACHE.read_text())
-        if data.get("code") == code_name:
+        if data.get("code") == code_name and data.get("decoder") == DECODER:
             return data["cpu_mbps"]
     import subprocess
 
+    capi = pathlib.Path(__file__).parent / "capi"
+    subprocess.run(["make", "-s", "-C", str(capi), "bench_capi"], check=True)
+    alist = pathlib.Path(__file__).parent / f".bench_{code_name}.alist"
+    if not alist.exists():
+        from ldpc_toolbox_tpu.codes.dvbs2 import Code
+
+        alist.write_text(Code[code_name].h().alist())
     out = subprocess.run(
-        [sys.executable, __file__, "--cpu-floor", code_name],
+        [
+            str(capi / "bench_capi"),
+            str(alist),
+            DECODER,
+            str(MAX_ITERS),
+            str(EBN0_DB),
+            "0.5",
+            "20",
+        ],
         capture_output=True,
         text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        check=True,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    mbps = float(line)
-    CACHE.write_text(json.dumps({"code": code_name, "cpu_mbps": mbps}))
+    mbps = float(json.loads(out.stdout.strip().splitlines()[-1])["mbps"])
+    CACHE.write_text(
+        json.dumps({"code": code_name, "decoder": DECODER, "cpu_mbps": mbps})
+    )
     return mbps
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-floor":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        code, graph = build(sys.argv[2])
-        print(measure(code, graph, batch=16, reps=1))
-        return
-
     code, graph = build(CODE_NAME)
     mbps = measure(code, graph, batch=512, reps=5)
     try:

@@ -314,6 +314,37 @@ struct MinstarApproxArith : PhiArith<F> {
   }
 };
 
+// Framework extension (matches the Python factory's Minsum* names, not in
+// the reference's 36): plain min-sum via the two-minima trick, the cheapest
+// scalar check rule — used as the honest CPU floor for the flagship bench.
+template <typename F>
+struct MinsumArith : PhiArith<F> {
+  using Msg = F;
+  static void check(const std::vector<Msg> &in, std::vector<Msg> &out) {
+    F m1 = std::numeric_limits<F>::max();
+    F m2 = std::numeric_limits<F>::max();
+    size_t arg = 0;
+    unsigned sign = 0;
+    for (size_t j = 0; j < in.size(); ++j) {
+      const F x = std::abs(in[j]);
+      if (x < m1) {
+        m2 = m1;
+        m1 = x;
+        arg = j;
+      } else if (x < m2) {
+        m2 = x;
+      }
+      if (in[j] < 0) sign ^= 1;
+    }
+    out.resize(in.size());
+    for (size_t j = 0; j < in.size(); ++j) {
+      const F mag = (j == arg) ? m2 : m1;
+      const unsigned s = (in[j] < 0) ? sign ^ 1 : sign;
+      out[j] = s ? -mag : mag;
+    }
+  }
+};
+
 template <typename F>
 struct AminstarArith : PhiArith<F> {
   using Msg = F;
@@ -588,6 +619,14 @@ std::unique_ptr<IDecoder> make_decoder(const std::string &name, SparseMatrix h) 
   MK("HLMinstarapproxf32", MinstarApproxArith<D32>, true)
   MK("HLAminstarf64", AminstarArith<D64>, true)
   MK("HLAminstarf32", AminstarArith<D32>, true)
+  // framework extensions (factory.py:74-75; bf16 storage is a TPU-side
+  // concern — scalar CPU computes in f32 either way)
+  MK("Minsumf64", MinsumArith<D64>, false)
+  MK("Minsumf32", MinsumArith<D32>, false)
+  MK("Minsumbf16", MinsumArith<D32>, false)
+  MK("HLMinsumf64", MinsumArith<D64>, true)
+  MK("HLMinsumf32", MinsumArith<D32>, true)
+  MK("HLMinsumbf16", MinsumArith<D32>, true)
 #define MKI8(NAME, J, H_, D, A, LAYERED) \
   if (name == NAME) \
     return std::make_unique<Decoder<I8Arith<J, H_, D, A>, LAYERED>>(std::move(h));
