@@ -71,7 +71,6 @@ def measure(code, graph, batch: int, reps: int) -> float:
             arith,
             max_iterations=MAX_ITERS,
             fused=fused,
-            use_pallas=False,
         )
     )
     llrs = jax.device_put(make_llrs(code, batch))

@@ -50,7 +50,7 @@ def lifted_flooding_decode(
     arithmetic,
     llrs,
     max_iterations: int,
-    use_pallas=None,
+    
     fused: bool = False,
 ):
     """Decode a (B, n) batch of channel LLRs on a lifted graph.
@@ -80,7 +80,7 @@ def lifted_flooding_decode(
 
     def gather(src, side):
         return plane_gather(
-            src, side.planes, side.shifts, use_pallas=use_pallas
+            src, side.planes, side.shifts
         )
 
     # channel LLRs as planes (VG, Z, B) in var-bucket group order
@@ -118,10 +118,7 @@ def lifted_flooding_decode(
             if b.degree == 0 or len(b.groups) == 0:
                 continue
             g = plane_gather(
-                bits,
-                b.var_group_pos,
-                b.shifts,
-                use_pallas=use_pallas,
+                bits, b.var_group_pos, b.shifts
             )  # (G, d, Z, B)
             for ib, row, slot, lanes in chk_fix:
                 if ib == i:

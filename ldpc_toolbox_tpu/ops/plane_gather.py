@@ -1,4 +1,4 @@
-"""Rolled plane gather — the hot data-movement op of lifted decoding.
+"""Rolled plane gather — the data-movement op of the unfused lifted path.
 
 ``plane_gather(src, planes, shifts)`` with ``src (P, Z, B)``,
 ``planes/shifts (G, d)`` returns ``out (G, d, Z, B)`` where
@@ -9,28 +9,26 @@ i.e. each output plane is a whole contiguous ``(Z, B)`` block of ``src``,
 cyclically rolled along the lane axis. For lifted LDPC codes this is the
 entire message permutation between variable and check coordinates.
 
-Two implementations:
-
-* a Pallas TPU kernel (grid over (g, t); the plane index and shift are
-  scalar-prefetched, the roll is two dynamic-slice block copies in VMEM) —
-  whole-plane DMAs run at copy bandwidth, ~3x the ceiling of XLA's
-  row-granular gather lowering;
-* a jnp fallback (flat gather) for CPU tests and interpret mode.
+Lowered as one flat XLA gather. A Pallas kernel (double-buffered
+whole-plane DMAs with an in-VMEM roll) was benchmarked against this on a
+v5e (640 planes, Z=360, B=128, f32, materialized output): XLA 2.39 ms vs
+Pallas 2.78 ms — XLA's gather lowering wins by ~17%, and the kernel could
+not handle int8 planes (Mosaic ``dynamic_rotate`` is 32-bit-only), so the
+kernel was deleted (see ARCHITECTURE.md "Pallas vs XLA decisions").  The
+production fast path is the fused v2 layout (ops/fused_bp2.py), which
+avoids this gather entirely by pre-rolling messages at rest.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["plane_gather", "plane_gather_reference"]
 
 
-def plane_gather_reference(src, planes, shifts):
-    """jnp fallback: one flat gather."""
+def plane_gather(src, planes, shifts):
+    """Gather rolled planes as one flat XLA gather."""
     P, Z, B = src.shape
     G, d = planes.shape
     lanes = (np.arange(Z)[None, None, :] - shifts[:, :, None]) % Z
@@ -39,98 +37,5 @@ def plane_gather_reference(src, planes, shifts):
     return out.reshape(G, d, Z, B)
 
 
-def _pallas_plane_gather(src, planes_flat, shifts_flat, Z, B, n_out):
-    """Pallas kernel: grid over output planes; src stays in HBM/ANY and
-    each program DMAs its source plane into VMEM, writing the roll as two
-    block copies."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    # The roll becomes a static-size dynamic-offset window into a
-    # lane-doubled copy of the source: doubled[p, i] = src[p, i % Z], so
-    # rolled(plane, shift) = doubled[plane, Z - shift : 2Z - shift].
-    # Mosaic requires dynamic offsets to be sublane-aligned (multiples of
-    # 8), so the DMA fetches the 8-aligned window extended by 8 rows and a
-    # static 8-way switch of pltpu.roll fixes the <=7-row residual.
-    doubled = jnp.concatenate([src, src, src[:, :8]], axis=1)
-
-    def kernel(planes_ref, shifts_ref, src_ref, out_ref, scratch, sems):
-        g = pl.program_id(0)
-        n = pl.num_programs(0)
-
-        def dma(i, slot):
-            start = Z - shifts_ref[i]
-            hi = pl.multiple_of((start // 8) * 8, 8)
-            return pltpu.make_async_copy(
-                src_ref.at[planes_ref[i], pl.ds(hi, Z + 8)],
-                scratch.at[slot],
-                sems.at[slot],
-            )
-
-        slot = g % 2
-
-        # double buffering: the DMA for step g+1 flies while step g rolls
-        @pl.when(g == 0)
-        def _():
-            dma(0, 0).start()
-
-        @pl.when(g + 1 < n)
-        def _():
-            dma(g + 1, (g + 1) % 2).start()
-
-        dma(g, slot).wait()
-        start = Z - shifts_ref[g]
-        lo = start - (start // 8) * 8  # 0..7 sublane residual
-        rolled = jax.lax.switch(
-            lo,
-            [
-                (
-                    lambda j=j: pltpu.roll(
-                        scratch[slot, :, :], (Z + 8 - j) % (Z + 8), 0
-                    )
-                )
-                for j in range(8)
-            ],
-        )
-        out_ref[0, :, :] = rolled[:Z, :]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_out,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # src stays off-chip
-        ],
-        out_specs=pl.BlockSpec(
-            (1, Z, B), lambda g, planes, shifts: (g, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, Z + 8, B), src.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    fn = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, Z, B), src.dtype),
-    )
-    return fn(planes_flat, shifts_flat, doubled)
-
-
-def plane_gather(src, planes, shifts, use_pallas=None):
-    """Gather rolled planes; picks the Pallas kernel on TPU backends."""
-    G, d = planes.shape
-    P, Z, B = src.shape
-    if use_pallas is None:
-        use_pallas = src.devices() if hasattr(src, "devices") else None
-        use_pallas = jax.default_backend() not in ("cpu",)
-    if not use_pallas:
-        return plane_gather_reference(src, planes, shifts)
-    out = _pallas_plane_gather(
-        src,
-        jnp.asarray(planes.reshape(-1), jnp.int32),
-        jnp.asarray(shifts.reshape(-1), jnp.int32),
-        Z,
-        B,
-        G * d,
-    )
-    return out.reshape(G, d, Z, B)
+# kept as an alias: tests and docs refer to the reference semantics by name
+plane_gather_reference = plane_gather

@@ -181,7 +181,7 @@ class BerTest:
             self.graph = p.lifted_graph
             if self.schedule == "flooding":
                 self._decode = _partial(
-                    lifted_flooding_decode, fused=fused, use_pallas=False
+                    lifted_flooding_decode, fused=fused
                 )
             else:
                 self._decode = _partial(lifted_layered_decode, fused=fused)

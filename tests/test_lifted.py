@@ -100,7 +100,7 @@ def test_lifted_matches_generic_dvbs2(impl):
     _, a1 = make_arithmetic(impl)
     _, a2 = make_arithmetic(impl)
     o1 = flooding_decode(graph, a1, llr, 30)
-    o2 = lifted_flooding_decode(lg, a2, llr, 30, use_pallas=False)
+    o2 = lifted_flooding_decode(lg, a2, llr, 30)
     np.testing.assert_array_equal(
         np.asarray(o1["success"]), np.asarray(o2["success"])
     )
@@ -132,7 +132,7 @@ def test_lifted_corrects_errors_near_staircase_corner():
         _, a = make_arithmetic("Minstarapproxf32")
         out = lifted_flooding_decode(
             lg, a, jnp.asarray(llr[None, :], jnp.float32), 30,
-            use_pallas=False,
+            
         )
         assert bool(out["success"][0]), flip
         np.testing.assert_array_equal(np.asarray(out["codeword"][0]), cw)
@@ -152,7 +152,7 @@ def test_lifted_decodes_other_families(family):
         x = -1.0 + sigma * rng.standard_normal((4, h.num_cols))
         llr = jnp.asarray((-2.0 / sigma**2) * x, jnp.float32)
         _, a = make_arithmetic("Minsumf32")
-        out = lifted_flooding_decode(lg, a, llr, 30, use_pallas=False)
+        out = lifted_flooding_decode(lg, a, llr, 30)
         assert np.asarray(out["success"]).sum() >= 3
         assert not np.asarray(out["codeword"])[
             np.asarray(out["success"])
@@ -169,7 +169,7 @@ def test_lifted_decodes_other_families(family):
     x = -1.0 + sigma * rng.standard_normal((4, h.num_cols))
     llr = jnp.asarray((-2.0 / sigma**2) * x, jnp.float32)
     _, a = make_arithmetic("Minsumf32")
-    out = lifted_flooding_decode(lg, a, llr, 40, use_pallas=False)
+    out = lifted_flooding_decode(lg, a, llr, 40)
     assert np.asarray(out["success"]).sum() >= 3
     decoded = np.asarray(out["codeword"])[np.asarray(out["success"])]
     assert not decoded.any()  # all-zero codeword recovered
@@ -186,7 +186,7 @@ def test_fused_matches_plane_gather_path(batch):
     lg, _ = _lifted_for(code)
     msgs, llr = _noisy_codeword_llrs(h, batch, 0.47, seed=1)
     _, a = make_arithmetic("Minsumf32")
-    o1 = lifted_flooding_decode(lg, a, llr, 20, use_pallas=False)
+    o1 = lifted_flooding_decode(lg, a, llr, 20)
     o2 = lifted_flooding_decode(lg, a, llr, 20, fused=True)
     s1 = np.asarray(o1["success"])
     np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
@@ -218,7 +218,7 @@ def test_fused_i8_matches_plane_gather_path(decoder):
     lg, _ = _lifted_for(code)
     msgs, llr = _noisy_codeword_llrs(h, 128, 0.85, seed=2)
     _, a = make_arithmetic(decoder)
-    o1 = lifted_flooding_decode(lg, a, llr, 12, use_pallas=False)
+    o1 = lifted_flooding_decode(lg, a, llr, 12)
     o2 = lifted_flooding_decode(lg, a, llr, 12, fused=True)
     s1 = np.asarray(o1["success"])
     np.testing.assert_array_equal(s1, np.asarray(o2["success"]))

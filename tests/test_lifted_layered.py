@@ -137,7 +137,7 @@ def test_layered_converges_faster_than_flooding():
     llr = _llrs(code.n, 64, 0.9, seed=7)
     _, a = make_arithmetic("Minsumf32")
     ol = lifted_layered_decode(lg, a, llr, 20)
-    of = lifted_flooding_decode(lg, a, llr, 20, use_pallas=False)
+    of = lifted_flooding_decode(lg, a, llr, 20)
     sl = np.asarray(ol["success"])
     sf = np.asarray(of["success"])
     assert sl.sum() >= sf.sum()
