@@ -106,6 +106,10 @@ class BerTestParameters:
     # (flooding schedules only); min-sum float rules additionally use the
     # fused Pallas kernels on TPU
     lifted_graph: Optional[object] = None
+    # fused Pallas kernel override: None = auto (fused on TPU whenever the
+    # arithmetic has a fused rule), True = force (interpret mode on CPU —
+    # used by tests and the multichip dryrun), False = plane-gather path
+    fused: Optional[bool] = None
     # checkpoint file: sweep state is saved after every completed Eb/N0
     # point (and periodically within a point) so long sweeps are resumable
     checkpoint_path: Optional[str] = None
@@ -135,6 +139,35 @@ class _Counters:
         self.bch_bit_errors += int(d["bch_bit_errors"])
         self.bch_frame_errors += int(d["bch_frame_errors"])
         self.bch_correct_iterations += int(d["bch_correct_iterations"])
+
+
+def _shard_decode(decode, mesh):
+    """Run a Pallas-fused decode per-shard over the mesh ``batch`` axis.
+
+    ``pallas_call`` carries no SPMD partitioning rule, so under a sharded
+    batch the XLA partitioner would all-gather the LLRs and replicate the
+    kernels on every device. ``shard_map`` instead runs the whole decode on
+    each device's local batch shard — frames are independent, so this is
+    exact — and as a bonus each shard's iteration ``while_loop`` exits as
+    soon as *its* frames converge rather than the global worst case.
+    """
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec("batch")
+
+    def sharded(graph, arithmetic, llr, max_iterations):
+        def local(x):
+            return decode(graph, arithmetic, x, max_iterations)
+
+        # check_vma=False: the decode allocates fresh while_loop carries
+        # (e.g. per-frame iteration counters) that JAX types as unvarying,
+        # clashing with the batch-varying data carries. The function is
+        # axis-name-agnostic and purely per-frame, so the check is moot.
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+        )(llr)
+
+    return sharded
 
 
 class BerTest:
@@ -174,10 +207,11 @@ class BerTest:
             # fused v2 kernels on TPU for every arithmetic with a fused
             # rule (min-sum + the i8 families); any batch size (the
             # decode pads to a 128 multiple internally)
-            fused = (
-                rule_for(self.arithmetic) is not None
-                and jax.default_backend() != "cpu"
-            )
+            has_rule = rule_for(self.arithmetic) is not None
+            if p.fused is None:
+                fused = has_rule and jax.default_backend() != "cpu"
+            else:
+                fused = p.fused and has_rule
             self.graph = p.lifted_graph
             if self.schedule == "flooding":
                 self._decode = _partial(
@@ -185,6 +219,8 @@ class BerTest:
                 )
             else:
                 self._decode = _partial(lifted_layered_decode, fused=fused)
+            if fused and p.mesh is not None:
+                self._decode = _shard_decode(self._decode, p.mesh)
         else:
             self.graph = DecodeGraph.from_sparse(h)
             self._decode = (

@@ -53,6 +53,7 @@ class BerTestBuilder:
     seed: int = 0
     mesh: Optional[object] = None
     lifted_graph: Optional[object] = None
+    fused: Optional[bool] = None
     checkpoint_path: Optional[str] = None
     profile_dir: Optional[str] = None
 
@@ -73,6 +74,7 @@ class BerTestBuilder:
             seed=self.seed,
             mesh=self.mesh,
             lifted_graph=self.lifted_graph,
+            fused=self.fused,
             checkpoint_path=self.checkpoint_path,
             profile_dir=self.profile_dir,
         )

@@ -102,6 +102,38 @@ def test_ber_lifted_fast_path_matches_generic():
     )
 
 
+def test_ber_fused_sharded_matches_unsharded():
+    """The fused Pallas decode (interpret mode on CPU) under a sharded
+    mesh runs per-shard via shard_map and must reproduce the unsharded
+    step's counters bit-exactly (VERDICT r1 item 6)."""
+    from ldpc_toolbox_tpu.codes.nr5g import BaseGraph
+    from ldpc_toolbox_tpu.decoder.lifted import LiftedGraph, nr5g_maps
+
+    bg, z = BaseGraph.BG2, 16
+    h = bg.h(z)
+    vm, cm, Z, nvg, ncg = nr5g_maps(bg, z)
+    lg = LiftedGraph.from_sparse(h, vm, cm, Z, nvg, ncg)
+    mesh = default_mesh(jax.devices()[:8])
+    kw = dict(
+        h=h,
+        decoder_implementation="Minsumf32",
+        lifted_graph=lg,
+        fused=True,
+        ebn0s_db=[5.0],
+        max_frame_errors=1,
+        max_iterations=6,
+        batch_size=16,
+        seed=3,
+    )
+    key = jax.random.key(3)
+    plain = jax.device_get(BerTestBuilder(**kw).build()._step(key, 0.55))
+    shard = jax.device_get(
+        BerTestBuilder(**kw, mesh=mesh).build()._step(key, 0.55)
+    )
+    for name, v in plain.items():
+        assert int(shard[name]) == int(v), (name, int(shard[name]), int(v))
+
+
 def test_ber_sharded_matches_unsharded(small_code):
     mesh = default_mesh(jax.devices()[:8])
     kw = dict(
