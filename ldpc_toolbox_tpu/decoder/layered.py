@@ -7,12 +7,12 @@ subtracts its old message, recomputes, and updates Qv in place
 (horizontal_layered.rs:105-110).
 
 On TPU the serial sweep becomes a ``lax.scan`` over *layers* — groups of
-variable-disjoint checks extracted by greedy coloring
-(decoder/layout.extract_layers). Within a layer the parallel update is
-exactly equivalent to the serial one; across layers the schedule is
-sequential, preserving the fast-convergence property. The layer grouping
-changes the row processing *order* relative to the reference's 0..m sweep,
-so results are equivalent in BER performance but not bitwise.
+variable-disjoint checks extracted by order-preserving layering
+(decoder/layout.extract_layers): every conflicting row pair executes in
+increasing row index, so the schedule is serial-equivalent to the
+reference's 0..m sweep — bit-identical messages, iteration counts and
+codewords for the integer arithmetics (cross-validated against the scalar
+C++ shim in tests/test_capi.py).
 """
 
 from __future__ import annotations

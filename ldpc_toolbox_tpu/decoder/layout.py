@@ -204,28 +204,36 @@ class DecodeGraph:
 def extract_layers(
     rows: list[list[int]], cols: list[list[int]], m: int
 ) -> np.ndarray:
-    """Greedy coloring of the row-conflict graph (rows conflict iff they
-    share a variable). Within a layer all checks are variable-disjoint, so
-    updating them in parallel is exactly equivalent to updating them
-    serially — the property the horizontal-layered schedule needs.
+    """Order-preserving layering of the row-conflict graph (rows conflict
+    iff they share a variable). Row ``r`` is assigned layer
+    ``1 + max(layer of every conflicting row before it)``, so
 
-    Rows are colored in index order with the smallest feasible color, so
-    for block-structured codes layers follow the natural base-row grouping.
-    Returns an int32 array (num_layers, rows_per_layer) padded with ``m``.
+    * within a layer all checks are variable-disjoint — the parallel
+      update equals any serial order of the layer's rows; and
+    * every conflicting pair executes in increasing row index — the whole
+      schedule is *serial-equivalent to the reference's 0..m sweep*
+      (horizontal_layered.rs:49-110): identical messages, posteriors,
+      hard decisions and iteration counts, bit-for-bit for the integer
+      arithmetics.
+
+    This yields more layers than a smallest-feasible-color greedy coloring
+    (longest conflict chain vs chromatic number) but buys exact reference
+    semantics; the structured families (DVB-S2 / 5G NR / AR4JA) use the
+    lifted base-row schedule instead, where layers are the natural lift
+    groups. Returns an int32 array (num_layers, rows_per_layer) padded
+    with ``m``.
     """
-    # latest color used by any row adjacent to each variable
     colors = np.full(m, -1, dtype=np.int64)
-    var_color_sets: list[set[int]] = [set() for _ in cols]
+    # highest layer index used by any earlier row adjacent to each variable
+    var_max_color = np.full(len(cols), -1, dtype=np.int64)
     for r, row in enumerate(rows):
-        used: set[int] = set()
-        for v in row:
-            used |= var_color_sets[v]
         c = 0
-        while c in used:
-            c += 1
+        for v in row:
+            if var_max_color[v] >= c:
+                c = var_max_color[v] + 1
         colors[r] = c
         for v in row:
-            var_color_sets[v].add(c)
+            var_max_color[v] = max(var_max_color[v], c)
 
     num_layers = int(colors.max()) + 1 if m else 1
     groups: list[list[int]] = [[] for _ in range(num_layers)]
