@@ -187,6 +187,17 @@ class TanhArithmetic(Arithmetic):
             # reference: 18.0 for f64 (tanh(19)=1.0), 9.0 for f32
             clamp = 18.0 if dtype == jnp.float64 else 9.0
         self.clamp = clamp
+        # The reference's input clamp keeps tanh(clamp) < 1 only under
+        # exact round-to-nearest libm (tanh(9) = 1 - 3.0e-8 rounds to
+        # 0.99999994f). TPU transcendentals are polynomial approximations:
+        # measured on v5e, f32 tanh(x) == 1.0 exactly for x >= 8, so
+        # atanh(prod) would be inf and the NaN posteriors hard-decide to
+        # the all-zero word — every frame a false decode. Clamp the
+        # product to the largest representable value below one, bounding
+        # messages at 2*atanh(1-2^-24) = 17.3 (f32) / 37.4 (f64); a no-op
+        # wherever the reference arithmetic is finite.
+        one = np.asarray(1, np.dtype(jnp.dtype(dtype).name))
+        self.prod_max = float(np.nextafter(one, one * 0))
 
     def check_messages(self, x, mask=None):
         c = jnp.asarray(self.clamp, self.dtype)
@@ -205,7 +216,8 @@ class TanhArithmetic(Arithmetic):
             axis=1,
         )
         prod = prefix * suffix
-        return 2.0 * jnp.arctanh(prod)
+        pm = jnp.asarray(self.prod_max, self.dtype)
+        return 2.0 * jnp.arctanh(jnp.clip(prod, -pm, pm))
 
 
 class MinstarApproxArithmetic(Arithmetic):
@@ -388,7 +400,18 @@ class _I8Base(Arithmetic):
         self.jones = jones
         self.hard_limit = hard_limit
         self.deg1_clip = deg1_clip
-        self.table = jnp.asarray(i8_correction_table())
+        table = i8_correction_table()
+        self.table = jnp.asarray(table)
+        # The table is monotone non-increasing with a handful of distinct
+        # values (0..6), so table[t] == sum_v 1[t < thr_v] where thr_v is
+        # the number of entries >= v. The sum-of-comparisons form avoids a
+        # (rows, degree, batch)-shaped gather per fold step — XLA lowers
+        # small-table gathers on TPU orders of magnitude slower than the
+        # six vectorized compares (measured ~300x on the generic i8 path).
+        assert np.all(np.diff(table) <= 0), "correction table not monotone"
+        self._thresholds = tuple(
+            int(np.sum(table >= v)) for v in range(1, int(table.max()) + 1)
+        )
 
     # messages are int8-valued: store them as int8 (4x less HBM traffic),
     # widen to int32 lanes after each gather
@@ -428,8 +451,13 @@ class _I8Base(Arithmetic):
         return llr <= 0
 
     def _lookup(self, t):
-        """table[t] for t in [0, 127], 0 beyond (arithmetic.rs:604-607)."""
-        return self.table[jnp.clip(t, 0, 127)]
+        """table[t] for t in [0, 127], 0 beyond (arithmetic.rs:604-607),
+        computed as a sum of compares against the table's step boundaries
+        (bit-exact; see __init__)."""
+        out = jnp.zeros_like(t)
+        for thr in self._thresholds:
+            out = out + (t < thr).astype(t.dtype)
+        return out
 
     # -- variable rule with optional clips (arithmetic.rs:622-654) ---------
 

@@ -97,9 +97,11 @@ _HL_NAMES = [
     "Aminstarf32",
     "Aminstari8",
     "Aminstari8PartialHardLimit",
-    # framework extensions
+    # framework extensions (bf16 variants included for C-ABI name parity)
     "Minsumf32",
+    "Minsumbf16",
     "Normminsumf32",
+    "Normminsumbf16",
 ]
 
 #: name -> (schedule, arithmetic factory); schedule in {"flooding", "layered"}

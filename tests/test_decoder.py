@@ -429,6 +429,44 @@ def test_layers_are_variable_disjoint():
     assert all_rows == list(range(g.m))
 
 
+def test_layers_serial_equivalent_to_row_order():
+    """Conflicting rows must execute in increasing row index, making the
+    layer schedule serial-equivalent to the reference's 0..m sweep
+    (horizontal_layered.rs:49-110)."""
+    h = MNConfig(nrows=20, ncols=40, wr=6, wc=3).run(9)
+    from ldpc_toolbox_tpu.decoder.layout import DecodeGraph
+
+    g = DecodeGraph.from_sparse(h)
+    layer_of = {}
+    for li, layer in enumerate(g.layers):
+        for r in layer:
+            if r < g.m:
+                layer_of[int(r)] = li
+    for v in range(h.num_cols):
+        rows = sorted(h.col_list(v))
+        for a, b in zip(rows, rows[1:]):
+            assert layer_of[a] < layer_of[b], (v, a, b)
+
+
+def test_tanh_check_messages_finite_under_saturation():
+    """TPU f32 tanh(x) returns exactly 1.0 for x >= 8 (polynomial
+    approximation), so without the product clamp atanh(prod) is inf and
+    posteriors go NaN — every frame hard-decides to the all-zero word and
+    counts as a false decode. The product clamp bounds messages at
+    2*atanh(nextafter(1, 0))."""
+    import jax.numpy as jnp
+
+    from ldpc_toolbox_tpu.decoder.arithmetic import TanhArithmetic
+
+    for dtype in (jnp.float32, jnp.float64):
+        a = TanhArithmetic(dtype)
+        cap = 2.0 * math.atanh(a.prod_max)
+        x = jnp.full((3, 7, 2), 1e30, dtype)
+        out = a.check_messages(x)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert float(jnp.max(jnp.abs(out))) <= cap * (1 + 1e-6)
+
+
 def test_i8_correction_table_values():
     t = i8_correction_table()
     # first entry: round(8*ln 2) = 6 (arithmetic.rs:589-602)
