@@ -166,8 +166,24 @@ class PhiArithmetic(Arithmetic):
     MIN_X = 1e-30
 
     def _phi(self, x):
+        # phi(x) = -ln(tanh(x/2)) = ln(1+e^-x) - ln(1-e^-x), computed via
+        # log1p/expm1. The textbook tanh form collapses to 0 once tanh
+        # rounds to 1 (TPU f32: x >= 16; exact f32: x >= 17), zeroing the
+        # magnitude of every strong message and raising the error floor
+        # ~25x; the stable form keeps phi = 2e^-x down to the f32
+        # underflow at x ~ 103.
         x = jnp.maximum(x, jnp.asarray(self.MIN_X, self.dtype))
-        return -jnp.log(jnp.tanh(0.5 * x))
+        t = jnp.exp(-x)
+        # ln(1-t): log1p(-t) is exact for small t (log(-expm1(-x)) would
+        # round 1-t to 1 and drop the -t term — a factor-2 error in phi);
+        # log(-expm1(-x)) is exact for t near 1 (log1p(-t) would suffer
+        # the 1-e^-x cancellation). Split at t = 0.5 (x = ln 2).
+        ln_1mt = jnp.where(
+            t < 0.5,
+            jnp.log1p(-t),
+            jnp.log(-jnp.expm1(-jnp.maximum(x, self.MIN_X))),
+        )
+        return jnp.log1p(t) - ln_1mt
 
     def check_messages(self, x, mask=None):
         mask_e = None if mask is None else mask[..., None]
