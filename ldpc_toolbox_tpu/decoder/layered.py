@@ -13,12 +13,21 @@ increasing row index, so the schedule is serial-equivalent to the
 reference's 0..m sweep — bit-identical messages, iteration counts and
 codewords for the integer arithmetics (cross-validated against the scalar
 C++ shim in tests/test_capi.py).
+
+The whole sweep is scatter-free (XLA scatters on TPU compile glacially and
+lower poorly): Rcv is stored layer-major ``(L, R, dc, B)`` and *flows
+through* the scan (xs -> ys), and the Qv update is a **gather** — each
+layer's masked deltas flatten to ``(R*dc + 1, B)`` and a host-precomputed
+``(L, n+1)`` source table maps every variable to its updating slot (or the
+zero sentinel), exploiting that a variable is touched at most once per
+layer.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .flooding import _check_satisfied
 from .layout import DecodeGraph
@@ -32,16 +41,34 @@ def layered_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
     Same contract as :func:`flooding_decode`.
     """
     assert graph.layers is not None, "DecodeGraph built without layers"
-    m, n, dc, dv = graph.m, graph.n, graph.dc_max, graph.dv_max
+    m, n, dc = graph.m, graph.n, graph.dc_max
 
-    layers = jnp.asarray(graph.layers)  # (L, R) padded with m
-    # chk tables extended with a sentinel row for layer padding
-    chk_vars_ext = jnp.concatenate(
-        [jnp.asarray(graph.chk_vars), jnp.full((1, dc), n, jnp.int32)]
+    layers = np.asarray(graph.layers)  # (L, R) padded with m
+    L, R = layers.shape
+
+    # host-side: layer-major check tables (sentinel row m -> var n, mask 0)
+    chk_vars_ext = np.concatenate(
+        [np.asarray(graph.chk_vars), np.full((1, dc), n, np.int32)]
     )
-    chk_mask_ext = jnp.concatenate(
-        [jnp.asarray(graph.chk_mask), jnp.zeros((1, dc), bool)]
+    chk_mask_ext = np.concatenate(
+        [np.asarray(graph.chk_mask), np.zeros((1, dc), bool)]
     )
+    vars_lm = chk_vars_ext[layers]  # (L, R, dc)
+    mask_lm = chk_mask_ext[layers]  # (L, R, dc)
+
+    # host-side: per-layer gather source for the Qv update. Variables in a
+    # layer are check-disjoint, so each var has at most one updating slot;
+    # unmentioned vars (and the sentinel var n) read the zero row R*dc.
+    src_lm = np.full((L, n + 1), R * dc, np.int32)
+    flat_vars = vars_lm.reshape(L, R * dc)
+    flat_mask = mask_lm.reshape(L, R * dc)
+    for li in range(L):
+        v = flat_vars[li][flat_mask[li]]
+        src_lm[li, v] = np.nonzero(flat_mask[li])[0]
+
+    vars_lm = jnp.asarray(vars_lm)
+    mask_lm = jnp.asarray(mask_lm)
+    src_lm = jnp.asarray(src_lm)
     chk_vars = jnp.asarray(graph.chk_vars)
 
     llr_t = llrs.T  # (n, B)
@@ -56,36 +83,33 @@ def layered_decode(graph: DecodeGraph, arithmetic, llrs, max_iterations: int):
 
     q = arithmetic.quantize(llr_t)
     qv0 = arithmetic.llr_to_var_llr(q).astype(qv_store)
-    # Qv with a sentinel variable row (absorbs padded-slot scatters)
+    # Qv with a sentinel variable row (read by padded slots, never written)
     qv0 = jnp.concatenate([qv0, jnp.zeros((1, B), qv0.dtype)])
-    # Rcv with a sentinel check row (absorbs padded-layer rows)
-    rcv0 = jnp.zeros((m + 1, dc, B), store)
+    rcv0 = jnp.zeros((L, R, dc, B), store)
 
-    def layer_step(carry, rows):
-        qv, rcv = carry
-        vars_rd = chk_vars_ext[rows]  # (R, dc)
-        mask_rd = chk_mask_ext[rows]  # (R, dc)
+    def layer_step(qv, xs):
+        rold_s, vars_rd, mask_rd, src = xs
         qv_g = (
             qv[vars_rd.reshape(-1)]
-            .reshape(*vars_rd.shape, B)
+            .reshape(R, dc, B)
             .astype(compute)
         )
-        rold = rcv[rows].astype(compute)
+        rold = rold_s.astype(compute)
         x = arithmetic.layered_x(qv_g, rold)
         rnew = arithmetic.check_messages(x, mask_rd)
         rnew = jnp.where(mask_rd[..., None], rnew, rold)
         delta = arithmetic.layered_qv_delta(rnew, rold)
         delta = jnp.where(mask_rd[..., None], delta, 0)
-        # rows within a layer are variable-disjoint, so these adds never
-        # collide on a real variable (padding collides on the sentinel row)
-        qv = qv.at[vars_rd.reshape(-1)].add(
-            delta.reshape(-1, B).astype(qv.dtype)
+        delta_flat = jnp.concatenate(
+            [delta.reshape(R * dc, B), jnp.zeros((1, B), delta.dtype)]
         )
-        rcv = rcv.at[rows].set(rnew.astype(store))
-        return (qv, rcv), None
+        qv = qv + delta_flat[src].astype(qv.dtype)
+        return qv, rnew.astype(store)
 
     def sweep(qv, rcv):
-        (qv, rcv), _ = jax.lax.scan(layer_step, (qv, rcv), layers)
+        qv, rcv = jax.lax.scan(
+            layer_step, qv, (rcv, vars_lm, mask_lm, src_lm)
+        )
         return qv, rcv
 
     def body(state):
