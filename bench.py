@@ -53,8 +53,8 @@ def make_llrs(code, batch: int):
     return (-2.0 / sigma**2) * x
 
 
-def measure(code, graph, batch: int, reps: int) -> float:
-    """Returns decoded info Mbit/s."""
+def measure(code, graph, batch: int, reps: int):
+    """Returns (decoded info Mbit/s, ms per BP iteration)."""
     import jax
 
     from ldpc_toolbox_tpu.decoder.factory import make_arithmetic
@@ -83,7 +83,16 @@ def measure(code, graph, batch: int, reps: int) -> float:
     # fetching per rep added a ~4 ms tunnel round trip to every rep
     int(r["iterations"][0])
     dt = (time.perf_counter() - t0) / reps
-    return 1e-6 * code.k * batch / dt
+    return 1e-6 * code.k * batch / dt, 1e3 * dt / MAX_ITERS
+
+
+def hbm_traffic_model(graph, batch: int, msg_bytes: int) -> float:
+    """Modeled HBM bytes per BP iteration for the fused v2 layout: each
+    message byte read once + written once per phase (4*E), channel LLRs
+    read (n), int8 hard-decision planes written (n) and re-read per edge
+    by the syndrome kernel (E)."""
+    E = graph.num_base_edges * graph.Z
+    return batch * (4 * E * msg_bytes + graph.n * msg_bytes + graph.n + E)
 
 
 def cpu_floor(code_name: str) -> float:
@@ -125,11 +134,14 @@ def cpu_floor(code_name: str) -> float:
 
 def main():
     code, graph = build(CODE_NAME)
-    mbps = measure(code, graph, batch=512, reps=5)
+    batch = 512
+    mbps, ms_per_iter = measure(code, graph, batch=batch, reps=5)
     try:
         floor = cpu_floor(CODE_NAME)
     except Exception:
         floor = None
+    msg_bytes = 1 if "i8" in DECODER else 2
+    gbps = hbm_traffic_model(graph, batch, msg_bytes) / (1e6 * ms_per_iter)
     result = {
         "metric": (
             f"decoded info throughput, DVB-S2 {CODE_NAME} n={code.n} "
@@ -138,6 +150,8 @@ def main():
         "value": round(mbps, 1),
         "unit": "Mbit/s",
         "vs_baseline": round(mbps / floor, 2) if floor else None,
+        "ms_per_iter": round(ms_per_iter, 3),
+        "hbm_gbps_model": round(gbps, 1),
     }
     print(json.dumps(result))
 
