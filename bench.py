@@ -1,20 +1,28 @@
 """Benchmark: decoded info throughput on the flagship workload.
 
-Measures batched min-sum belief-propagation decode of the DVB-S2 rate-1/2
-n=64800 code (the BASELINE.json headline metric) on the default JAX device
-and prints ONE JSON line::
+Measures batched belief-propagation decode of the DVB-S2 rate-1/2 n=64800
+code (the BASELINE.json headline metric) on the default JAX device and
+prints ONE JSON line::
 
     {"metric": ..., "value": N, "unit": "Mbit/s", "vs_baseline": N}
+
+The flagship decoder is ``HLMinsumbf16`` — the fused Pallas
+horizontal-layered schedule (ops/fused_layered.py), which converges in
+~half the iterations of flooding at identical quality (reference
+horizontal_layered.rs:49-110; BASELINE.md HL floors) and keeps the Qv
+posteriors VMEM-resident so HBM sees half the traffic per iteration.
+Override with ``BENCH_DECODER`` (any fused rule: min-sum, the i8
+families, Phi/Tanh/Minstarapprox/Aminstar f32) and ``BENCH_CODE``.
 
 The reference publishes no numbers and its Rust toolchain is unavailable
 in this environment (BASELINE.md), so the baseline is the closest honest
 stand-in: the repo's C++ C-ABI shim (capi/), which reimplements the
 reference's scalar numeric semantics, driven by a multithreaded benchmark
-(capi/bench_capi.cpp) that mirrors the reference BER harness's threading
+(capi/bench_capi.cpp) mirroring the reference BER harness's threading
 model (one decoder per worker, num_cpus workers, ber.rs:574 throughput).
 ``vs_baseline`` therefore means "TPU chip vs reference-semantics scalar
-C++ using every core of this host", measured once and cached in
-``.bench_baseline.json``.
+C++ using every core of this host", measured once per (code, decoder)
+and cached in ``.bench_baseline.json``.
 """
 
 import json
@@ -25,11 +33,12 @@ from functools import partial
 
 CACHE = pathlib.Path(__file__).parent / ".bench_baseline.json"
 
-CODE_NAME = "R1_2"
-EBN0_DB = 1.0
-MAX_ITERS = 30
-# override with e.g. BENCH_DECODER=Minstarapproxi8 for the i8 fast path
-DECODER = os.environ.get("BENCH_DECODER", "Minsumbf16")
+CODE_NAME = os.environ.get("BENCH_CODE", "R1_2")
+EBN0_DB = float(os.environ.get("BENCH_EBN0", "1.0"))
+MAX_ITERS = int(os.environ.get("BENCH_MAX_ITERS", "30"))
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+# flagship: fused horizontal-layered min-sum with bf16 message storage
+DECODER = os.environ.get("BENCH_DECODER", "HLMinsumbf16")
 
 
 def build(code_name: str):
@@ -47,61 +56,98 @@ def make_llrs(code, batch: int):
 
     rng = np.random.default_rng(0)
     ebn0 = 10 ** (0.1 * EBN0_DB)
-    sigma = float(np.sqrt(0.5 / (0.5 * ebn0)))
+    rate = code.k / code.n
+    sigma = float(np.sqrt(0.5 / (rate * ebn0)))
     # all-zero codeword BPSK (+noise); valid for any linear code's BER
     x = -1.0 + sigma * rng.standard_normal((batch, code.n), dtype=np.float32)
     return (-2.0 / sigma**2) * x
 
 
 def measure(code, graph, batch: int, reps: int):
-    """Returns (decoded info Mbit/s, ms per BP iteration)."""
+    """Returns a dict: Mbit/s, ms/iter, iterations executed, layout info."""
     import jax
+    import numpy as np
 
     from ldpc_toolbox_tpu.decoder.factory import make_arithmetic
     from ldpc_toolbox_tpu.decoder.lifted_flooding import lifted_flooding_decode
+    from ldpc_toolbox_tpu.decoder.lifted_layered import lifted_layered_decode
+    from ldpc_toolbox_tpu.ops.fused_bp2 import rule_for
 
     # fused Pallas path on TPU; interpreted kernels are far too slow on
-    # CPU, so the baseline floor uses the plane-gather fallback
+    # CPU, so a CPU run (smoke only) uses the plane-gather f32 path
     fused = jax.default_backend() != "cpu"
-    _, arith = make_arithmetic(DECODER if fused else "Minsumf32")
+    name = DECODER if fused else "Minsumf32"
+    schedule, arith = make_arithmetic(name)
+    decode = (
+        lifted_layered_decode if schedule == "layered" else lifted_flooding_decode
+    )
     fn = jax.jit(
-        partial(
-            lifted_flooding_decode,
-            graph,
-            arith,
-            max_iterations=MAX_ITERS,
-            fused=fused,
-        )
+        partial(decode, graph, arith, max_iterations=MAX_ITERS, fused=fused)
     )
     llrs = jax.device_put(make_llrs(code, batch))
     int(fn(llrs)["iterations"][0])  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(llrs)
-    # fetch one scalar of the LAST result only: TPU executes the queued
-    # calls in order on one stream, so its completion bounds them all —
-    # fetching per rep added a ~4 ms tunnel round trip to every rep
-    int(r["iterations"][0])
+    # fetch the LAST result only: TPU executes the queued calls in order
+    # on one stream, so its completion bounds them all — fetching per rep
+    # added a ~4 ms tunnel round trip to every rep
+    iters = np.asarray(r["iterations"])
     dt = (time.perf_counter() - t0) / reps
-    return 1e-6 * code.k * batch / dt, 1e3 * dt / MAX_ITERS
+    # iterations the while_loop actually executed (== its trip count:
+    # converged frames freeze their own count, stragglers run to the max)
+    iters_run = int(iters.max())
+    rule = rule_for(arith)
+    return {
+        "mbps": 1e-6 * code.k * batch / dt,
+        "ms_per_iter": 1e3 * dt / max(iters_run, 1),
+        "iterations_executed": iters_run,
+        "avg_iterations": float(iters.mean()),
+        "schedule": schedule,
+        "fused": fused,
+        "msg_bytes": rule.storage_dtype.itemsize if rule is not None else 4,
+        "qv_bytes": (
+            rule.qv_dtype(arith).itemsize
+            if (rule is not None and schedule == "layered")
+            else 0
+        ),
+    }
 
 
-def hbm_traffic_model(graph, batch: int, msg_bytes: int) -> float:
-    """Modeled HBM bytes per BP iteration for the fused v2 layout: each
-    message byte read once + written once per phase (4*E), channel LLRs
-    read (n), int8 hard-decision planes written (n) and re-read per edge
-    by the syndrome kernel (E)."""
+def hbm_traffic_model(graph, batch: int, m) -> float:
+    """Modeled HBM bytes per BP iteration for the fused layouts.
+
+    Flooding (ops/fused_bp2.py): each message byte read once + written
+    once per phase (4E), channel LLR planes read (n), int8 hard-decision
+    planes written then read once by the VMEM-resident syndrome kernel
+    (2n — the syndrome reads each bit plane once, not per edge).
+
+    Layered (ops/fused_layered.py): Rcv streamed in+out (2E), Qv tile
+    in+out (2n at qv_bytes), bit planes written + syndrome-read (2n).
+    """
     E = graph.num_base_edges * graph.Z
-    return batch * (4 * E * msg_bytes + graph.n * msg_bytes + graph.n + E)
+    n = graph.n
+    mb = m["msg_bytes"]
+    if m["schedule"] == "layered":
+        per_iter = 2 * E * mb + 2 * n * m["qv_bytes"] + 2 * n
+    else:
+        per_iter = 4 * E * mb + n * mb + 2 * n
+    return batch * per_iter
 
 
 def cpu_floor(code_name: str) -> float:
     """Measure (or load cached) the reference-semantics scalar C++ decode
     on all host cores (capi/bench_capi.cpp)."""
+    cache = {}
     if CACHE.exists():
-        data = json.loads(CACHE.read_text())
-        if data.get("code") == code_name and data.get("decoder") == DECODER:
-            return data["cpu_mbps"]
+        cache = json.loads(CACHE.read_text())
+        if not isinstance(cache, dict) or "entries" not in cache:
+            cache = {"entries": {}}
+    else:
+        cache = {"entries": {}}
+    key = f"{code_name}:{DECODER}"
+    if key in cache["entries"]:
+        return cache["entries"][key]
     import subprocess
 
     capi = pathlib.Path(__file__).parent / "capi"
@@ -126,33 +172,36 @@ def cpu_floor(code_name: str) -> float:
         check=True,
     )
     mbps = float(json.loads(out.stdout.strip().splitlines()[-1])["mbps"])
-    CACHE.write_text(
-        json.dumps({"code": code_name, "decoder": DECODER, "cpu_mbps": mbps})
-    )
+    cache["entries"][key] = mbps
+    CACHE.write_text(json.dumps(cache))
     return mbps
 
 
 def main():
     code, graph = build(CODE_NAME)
-    batch = 512
-    mbps, ms_per_iter = measure(code, graph, batch=batch, reps=5)
+    m = measure(code, graph, batch=BATCH, reps=5)
     try:
         floor = cpu_floor(CODE_NAME)
     except Exception:
         floor = None
-    msg_bytes = 1 if "i8" in DECODER else 2
-    gbps = hbm_traffic_model(graph, batch, msg_bytes) / (1e6 * ms_per_iter)
     result = {
         "metric": (
             f"decoded info throughput, DVB-S2 {CODE_NAME} n={code.n} "
-            f"{DECODER} flooding {MAX_ITERS} iters @ {EBN0_DB} dB"
+            f"{DECODER if m['fused'] else 'Minsumf32 (cpu smoke)'} "
+            f"{m['schedule']} @ {EBN0_DB} dB (max {MAX_ITERS} iters)"
         ),
-        "value": round(mbps, 1),
+        "value": round(m["mbps"], 1),
         "unit": "Mbit/s",
-        "vs_baseline": round(mbps / floor, 2) if floor else None,
-        "ms_per_iter": round(ms_per_iter, 3),
-        "hbm_gbps_model": round(gbps, 1),
+        "vs_baseline": round(m["mbps"] / floor, 2) if floor else None,
+        "iterations_executed": m["iterations_executed"],
+        "avg_iterations": round(m["avg_iterations"], 2),
+        "ms_per_iter": round(m["ms_per_iter"], 3),
     }
+    if m["fused"]:
+        gbytes = hbm_traffic_model(graph, BATCH, m) / (
+            1e6 * m["ms_per_iter"]
+        )
+        result["hbm_GBps_model"] = round(gbytes, 1)
     print(json.dumps(result))
 
 

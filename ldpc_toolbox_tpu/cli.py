@@ -3,8 +3,10 @@
 The 9 subcommands of the reference CLI (cli.rs:30-51) with matching names,
 flags and output formats: ``5g``, ``ber``, ``ccsds``, ``ccsds-c2``,
 ``dvbs2``, ``encode``, ``mackay-neal``, ``peg``, ``systematic``.
-Constructions print alists on stdout (girth reports go to stderr,
-"Code girth = N"); ``ber`` renders the reference's live progress table
+Constructions print alists on stdout; ``--girth`` output matches the
+reference stream-for-stream (ccsds/dvbs2/5g: girth only, stdout,
+"Code girth = N" / "Code girth is infinite"; peg: alist then girth on
+stderr). ``ber`` renders the reference's live progress table
 (cli/ber.rs:315-340) and optional results files.
 
 Differences from the reference, by design:
@@ -41,7 +43,9 @@ def parse_puncturing_pattern(s: str) -> list[bool]:
 
 
 def parse_duration(s: str) -> float:
-    """Parse humantime-style durations: "30s", "5m", "1h 30m", "90"."""
+    """Parse humantime-style durations: "30s", "5m", "1h 30m"; a bare
+    number is seconds (framework extension — humantime requires a unit).
+    Strict like humantime: unknown units and trailing junk are errors."""
     s = s.strip()
     if not s:
         raise ValueError("empty duration")
@@ -52,41 +56,57 @@ def parse_duration(s: str) -> float:
         "days": 86400.0,
     }
     total = 0.0
-    matched = False
-    for num, unit in re.findall(r"([0-9.]+)\s*([a-z]*)", s):
-        if not num:
-            continue
-        matched = True
+    pos = 0
+    pattern = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?)\s*([a-z]*)\s*")
+    while pos < len(s):
+        m = pattern.match(s, pos)
+        if m is None or m.start(1) != pos and not s[pos:m.start(1)].isspace():
+            raise ValueError(f"cannot parse duration {s!r}")
+        num, unit = m.group(1), m.group(2)
         if unit == "":
+            # bare seconds allowed only as the entire input
+            if pos != 0 or m.end() != len(s):
+                raise ValueError(f"cannot parse duration {s!r}")
             total += float(num)
         elif unit in units:
             total += float(num) * units[unit]
         else:
             raise ValueError(f"unknown duration unit {unit!r}")
-    if not matched:
-        raise ValueError(f"cannot parse duration {s!r}")
+        pos = m.end()
     return total
 
 
-def _print_alist_and_girth(h, girth: bool) -> None:
-    sys.stdout.write(h.alist())
+def _print_alist_or_girth(h, girth: bool, alist_newline: bool = False) -> None:
+    """Reference semantics for the standards subcommands: ``--girth``
+    prints ONLY the girth, on stdout ("Code girth = N" / "Code girth is
+    infinite", cli/ccsds.rs:63-68, cli/dvbs2.rs:84-89, cli/nr5g.rs:39-46);
+    otherwise the alist. ``alist_newline`` matches the reference's
+    ``println!`` (5g) vs ``print!`` (ccsds, dvbs2)."""
     if girth:
         g = h.girth()
         if g is None:
-            print("Code girth = infinity (there are no cycles)", file=sys.stderr)
+            print("Code girth is infinite")
         else:
-            print(f"Code girth = {g}", file=sys.stderr)
+            print(f"Code girth = {g}")
+    else:
+        sys.stdout.write(h.alist() + ("\n" if alist_newline else ""))
 
 
 # -- subcommand runners ------------------------------------------------------
 
 
 def run_5g(args) -> None:
-    from .codes.nr5g import BaseGraph
+    from .codes.nr5g import LIFTING_SIZES, BaseGraph
 
     bg = BaseGraph.BG1 if args.base_graph == "1" else BaseGraph.BG2
+    if args.lifting_size not in LIFTING_SIZES:
+        # the reference validates Z as a clap ValueEnum (nr5g.rs:78-232)
+        _die(
+            f"invalid lifting size {args.lifting_size} "
+            f"(valid: {', '.join(str(z) for z in sorted(LIFTING_SIZES))})"
+        )
     h = bg.h(args.lifting_size)
-    _print_alist_and_girth(h, args.girth)
+    _print_alist_or_girth(h, args.girth, alist_newline=True)
 
 
 def run_ccsds(args) -> None:
@@ -103,7 +123,7 @@ def run_ccsds(args) -> None:
     if args.block_size not in sizes:
         _die(f"invalid block size {args.block_size}")
     h = AR4JACode(rates[args.rate], sizes[args.block_size]).h()
-    _print_alist_and_girth(h, args.girth)
+    _print_alist_or_girth(h, args.girth)
 
 
 def run_ccsds_c2(args) -> None:
@@ -121,7 +141,7 @@ def run_dvbs2(args) -> None:
     except KeyError:
         frame = "short" if args.short else "normal"
         _die(f"Invalid rate {args.rate} for {frame} FECFRAME")
-    _print_alist_and_girth(code.h(), args.girth)
+    _print_alist_or_girth(code.h(), args.girth)
 
 
 def run_mackay_neal(args) -> None:
@@ -141,7 +161,7 @@ def run_mackay_neal(args) -> None:
     if args.search:
         found = conf.search(args.seed, args.seed_trials)
         if found is None:
-            _die("no valid seed found")
+            _die("no solution found")  # cli/mackay_neal.rs:105
         seed, h = found
         print(f"seed = {seed}", file=sys.stderr)
     else:
@@ -149,7 +169,7 @@ def run_mackay_neal(args) -> None:
             h = conf.run(args.seed)
         except MacKayNealError as e:
             _die(str(e))
-    sys.stdout.write(h.alist())
+    print(h.alist())  # println! (cli/mackay_neal.rs:111)
 
 
 def run_peg(args) -> None:
@@ -162,13 +182,17 @@ def run_peg(args) -> None:
         _die(str(e))
     for r in range(h.num_rows):
         if h.row_weight(r) < 2:
-            msg = "warning: at least 1 row weight <= 1"
+            # exact reference wording incl. the Unicode relation signs
+            # (cli/peg.rs:56-64)
+            msg = "warning: at least 1 row weight ≤ 1"
             if conf.wc < 3:
-                msg += " (try col weight >= 3?)"
+                msg += " (try col weight ≥ 3?)"
             print(msg, file=sys.stderr)
             break
-    sys.stdout.write(h.alist())
+    print(h.alist())  # println! (cli/peg.rs:66)
     if args.girth:
+        # peg reports girth on STDERR, with the long infinity wording
+        # (cli/peg.rs:67-71) — unlike ccsds/dvbs2/5g
         g = h.girth()
         if g is None:
             print("Code girth = infinity (there are no cycles)", file=sys.stderr)
@@ -185,7 +209,7 @@ def run_systematic(args) -> None:
         hs = parity_to_systematic(h)
     except SystematicError as e:
         _die(str(e))
-    sys.stdout.write(hs.alist())
+    print(hs.alist())  # println! (cli/systematic.rs:24)
 
 
 def run_encode(args) -> None:
@@ -206,16 +230,31 @@ def run_encode(args) -> None:
         else None
     )
     k = encoder.k
-    data = np.fromfile(args.input, dtype=np.uint8)
-    nwords = len(data) // k  # trailing partial word ignored, like read_exact
-    with open(args.output, "wb") as out:
-        if nwords == 0:
-            return
-        msgs = data[: nwords * k].reshape(nwords, k)
-        cw = np.asarray(encoder.encode_batch(msgs))
-        if puncturer is not None:
-            cw = np.asarray(puncturer.puncture(cw))
-        out.write(cw.astype(np.uint8).tobytes())
+    # constant-memory streaming like the reference's read_exact loop
+    # (cli/encode.rs:34-71): read a bounded chunk of frames, batch-encode
+    # it, write, repeat; a trailing partial word is ignored (read_exact
+    # EOF semantics).
+    chunk_frames = max(1, (1 << 22) // k)
+    with open(args.input, "rb") as inp, open(args.output, "wb") as out:
+        pending = b""
+        while True:
+            buf = inp.read(chunk_frames * k - len(pending))
+            data = pending + buf
+            nwords = len(data) // k
+            pending = data[nwords * k :]
+            if nwords == 0:
+                if not buf:
+                    return
+                continue
+            msgs = np.frombuffer(data[: nwords * k], np.uint8).reshape(
+                nwords, k
+            )
+            cw = np.asarray(encoder.encode_batch(msgs))
+            if puncturer is not None:
+                cw = np.asarray(puncturer.puncture(cw))
+            out.write(cw.astype(np.uint8).tobytes())
+            if not buf:
+                return
 
 
 _BER_HEADER = (
@@ -300,6 +339,22 @@ def _resolve_ber_code(spec: str):
         code = C2Code()
         return code.h(), lifted_graph_for(code)
     _die(f"cannot resolve code spec or alist path {spec!r}")
+
+
+def run_selftest(args) -> None:
+    """Framework extension (not a reference subcommand): on-device
+    fused-kernel exactness check, one small decode per rule family
+    (selftest.py). Exit 1 on any mismatch."""
+    from .selftest import SELFTEST_FAMILIES, run_selftest as _run
+
+    families = args.families.split(",") if args.families else SELFTEST_FAMILIES
+
+    def log(name, ok, detail):
+        print(f"{'OK  ' if ok else 'FAIL'} {name:44s} {detail}")
+
+    failures = _run(families, iterations=args.max_iter, log=log)
+    if failures:
+        _die(f"fused selftest failed: {', '.join(failures)}")
 
 
 def run_ber(args) -> None:
@@ -501,6 +556,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("alist")
     s.set_defaults(func=run_systematic)
+
+    s = sub.add_parser(
+        "selftest",
+        help="On-device fused-kernel exactness check per rule family "
+        "(framework extension)",
+    )
+    s.add_argument("--families", help="comma-separated decoder names")
+    s.add_argument("--max-iter", type=int, default=8)
+    s.set_defaults(func=run_selftest)
 
     return p
 

@@ -118,7 +118,22 @@ def parse_implementation(name: str) -> tuple[str, Callable[[], Arithmetic]]:
         raise ValueError(f"invalid decoder implementation {name!r}") from None
 
 
+_warned_f64: set[str] = set()
+
+
 def make_arithmetic(name: str) -> tuple[str, Arithmetic]:
     """Returns (schedule, arithmetic instance) for an implementation name."""
     schedule, factory = parse_implementation(name)
+    if "f64" in name and not jax_config.jax_enable_x64 and name not in _warned_f64:
+        # TPUs have no native double precision; be explicit that the f64
+        # name runs in f32 (BER parity vs the f64 reference is validated
+        # statistically in tests/test_ber_parity.py)
+        import warnings
+
+        _warned_f64.add(name)
+        warnings.warn(
+            f"decoder {name!r}: float64 is unavailable on this backend "
+            "(jax_enable_x64 is off); computing in float32",
+            stacklevel=2,
+        )
     return schedule, factory()

@@ -72,8 +72,17 @@ def lifted_flooding_decode(
                 return _fused_flooding_decode(
                     lg, arithmetic, rule, llrs, max_iterations
                 )
-            except ValueError:
-                pass  # multi-lane circulant gaps etc.: unfused fallback
+            except ValueError as e:
+                # multi-lane circulant gaps / degree caps: unfused fallback.
+                # Loud, not silent — the fallback is ~5-10x slower and a
+                # swallowed error here once hid a real kernel bug.
+                import warnings
+
+                warnings.warn(
+                    f"fused decode unavailable for this graph ({e}); "
+                    "falling back to the plane-gather path",
+                    stacklevel=2,
+                )
     Z = lg.Z
     B = llrs.shape[0]
     vb, cb = lg.var_buckets, lg.chk_buckets

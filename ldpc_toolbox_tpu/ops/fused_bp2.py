@@ -55,6 +55,10 @@ __all__ = [
     "fused_syndrome_bits",
     "rule_for",
     "MinSumRule",
+    "PhiRule",
+    "TanhRule",
+    "MinstarApproxRule",
+    "AminstarRule",
     "MinstarApproxI8Rule",
     "AminstarI8Rule",
 ]
@@ -292,6 +296,203 @@ class MinSumRule:
         return jnp.dtype(arithmetic.var_llr_storage_dtype)
 
 
+class _FloatRuleBase:
+    """Shared float-family plumbing: float storage, f32 compute (f64 when
+    the storage is f64 — interpret mode on x64 CPUs; TPUs map f64 names to
+    f32 in the factory), plain sum-minus-own variable rule
+    (arithmetic.rs:140-156) and Qv-Rcv layered extrinsic."""
+
+    max_check_degree = MAX_DEGREE
+    max_var_degree = MAX_DEGREE
+
+    def __init__(self, dtype):
+        self.storage_dtype = jnp.dtype(dtype)
+        self.compute_dtype = (
+            jnp.dtype(jnp.float64)
+            if self.storage_dtype == jnp.float64
+            else jnp.dtype(jnp.float32)
+        )
+        # missing-lane poke: behaves as an infinitely reliable bit-0
+        # message (phi -> 0, tanh -> tanh(clamp), min*/min -> neutral)
+        self.big = float(jnp.finfo(self.storage_dtype).max)
+
+    def var(self, q, xs, degree):
+        tot = q
+        for x in xs:
+            tot = tot + x
+        return [tot - x for x in xs], tot
+
+    def layered_x(self, qv, rold):
+        return qv - rold
+
+    def qv_dtype(self, arithmetic):
+        return jnp.dtype(arithmetic.var_llr_storage_dtype)
+
+    @staticmethod
+    def _parity(planes):
+        negs = [x < 0 for x in planes]
+        par = negs[0]
+        for k in range(1, len(planes)):
+            par = par ^ negs[k]
+        return negs, par
+
+
+class PhiRule(_FloatRuleBase):
+    """phi-involution sum-product (arithmetic.rs:158-298): the fold is
+    the sum-of-phis trick — O(d) transcendentals per plane on the VPU.
+    Same numerically stable phi as decoder.arithmetic.PhiArithmetic."""
+
+    MIN_X = 1e-30
+
+    def _phi(self, x):
+        # Pallas lacks expm1, so 1 - e^-x is computed as a 3-term series
+        # below 2^-5 (where direct subtraction cancels) and directly
+        # above (max rel err ~2e-6 at the crossover). NOTE: the obvious
+        # log(exp(-x))-based correction is NOT safe here — XLA's
+        # algebraic simplifier rewrites log(exp(y)) = y inside the fused
+        # kernel, turning the "did exp round to 1" test into a tautology
+        # and sending phi to inf for strong messages.
+        minx = jnp.asarray(self.MIN_X, self.compute_dtype)
+        x = jnp.maximum(x, minx)
+        t = jnp.exp(-x)
+        one_minus_t = jnp.where(
+            x < 0.03125,
+            x * (1.0 - 0.5 * x + (1.0 / 6.0) * (x * x)),
+            1.0 - t,
+        )
+        ln_1mt = jnp.where(
+            t < 0.5, jnp.log1p(-t), jnp.log(one_minus_t)
+        )
+        return jnp.log1p(t) - ln_1mt
+
+    def check(self, planes):
+        d = len(planes)
+        negs, par = self._parity(planes)
+        phis = [self._phi(jnp.abs(x)) for x in planes]
+        tot = phis[0]
+        for k in range(1, d):
+            tot = tot + phis[k]
+        outs = []
+        for t in range(d):
+            y = self._phi(tot - phis[t])
+            outs.append(jnp.where(par ^ negs[t], -y, y))
+        return outs
+
+
+class TanhRule(_FloatRuleBase):
+    """tanh product rule (arithmetic.rs:300-435): 2*atanh(prod tanh(x/2))
+    with the reference's input clamp and the TPU product clamp below one
+    (the Tanh-NaN fix, decoder.arithmetic.TanhArithmetic)."""
+
+    def __init__(self, dtype, clamp, prod_max):
+        super().__init__(dtype)
+        self.clamp = float(clamp)
+        self.prod_max = float(prod_max)
+
+    def check(self, planes):
+        d = len(planes)
+        negs, par = self._parity(planes)
+        del negs, par  # signs ride inside the product itself
+        c = jnp.asarray(self.clamp, self.compute_dtype)
+        ts = [jnp.tanh(jnp.clip(0.5 * x, -c, c)) for x in planes]
+        # exclusive prefix/suffix products: product over the other slots
+        # without dividing (tanh can be 0), matching the plane path's
+        # cumprod order
+        pre = [None] * d
+        acc = None
+        for k in range(d):
+            pre[k] = acc
+            acc = ts[k] if acc is None else acc * ts[k]
+        suf = [None] * d
+        acc = None
+        for k in reversed(range(d)):
+            suf[k] = acc
+            acc = ts[k] if acc is None else acc * ts[k]
+        pm = jnp.asarray(self.prod_max, self.compute_dtype)
+        one = jnp.ones_like(planes[0])
+        outs = []
+        for t in range(d):
+            p = pre[t] if pre[t] is not None else one
+            s = suf[t] if suf[t] is not None else one
+            prod = jnp.clip(p * s, -pm, pm)
+            # Mosaic has no arctanh: atanh(p) = (log1p(p) - log1p(-p))/2,
+            # so 2*atanh(p) = log1p(p) - log1p(-p) (exact for small p,
+            # stable at the prod_max clamp)
+            outs.append(jnp.log1p(prod) - jnp.log1p(-prod))
+        return outs
+
+
+class MinstarApproxRule(_FloatRuleBase):
+    """Pairwise min* approximation in the exact reference fold order
+    (arithmetic.rs:487-521) with prefix reuse — the float analog of
+    MinstarApproxI8Rule."""
+
+    # O(d^2) unrolled fold: cap program size like the i8 rule
+    max_check_degree = 16
+
+    def _fold(self, a, b):
+        return jnp.maximum(
+            jnp.minimum(a, b) - jnp.log1p(jnp.exp(-jnp.abs(a - b))), 0.0
+        )
+
+    def check(self, planes):
+        d = len(planes)
+        negs, par = self._parity(planes)
+        mags = [jnp.abs(x) for x in planes]
+        pre = [None] * d
+        acc = None
+        for t in range(d):
+            pre[t] = acc
+            acc = mags[t] if acc is None else self._fold(acc, mags[t])
+        outs = []
+        for t in range(d):
+            a = pre[t]
+            for k in range(t + 1, d):
+                a = mags[k] if a is None else self._fold(a, mags[k])
+            if a is None:  # degree-1 check
+                a = jnp.zeros_like(mags[t])
+            outs.append(jnp.where(par ^ negs[t], -a, a))
+        return outs
+
+
+class AminstarRule(_FloatRuleBase):
+    """A-Min*-BP (arithmetic.rs:899-1072): exact min* fold over the
+    non-minimum edges; the min edge gets the fold, all others share
+    min*(fold, vmin). First-minimum argmin, like the plane path."""
+
+    def _minstar_full(self, a, b):
+        return (
+            jnp.minimum(a, b)
+            - jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+            + jnp.log1p(jnp.exp(-(a + b)))
+        )
+
+    def check(self, planes):
+        d = len(planes)
+        negs, par = self._parity(planes)
+        mags = [jnp.abs(x) for x in planes]
+        m1 = mags[0]
+        arg = jnp.zeros(m1.shape, jnp.int32)
+        for k in range(1, d):
+            take = mags[k] < m1
+            m1 = jnp.where(take, mags[k], m1)
+            arg = jnp.where(take, k, arg)
+        acc = jnp.zeros_like(m1)
+        cnt = jnp.zeros(m1.shape, jnp.int32)
+        for k in range(d):
+            elig = arg != k
+            first = elig & (cnt == 0)
+            folded = self._minstar_full(acc, mags[k])
+            acc = jnp.where(first, mags[k], jnp.where(elig, folded, acc))
+            cnt = cnt + elig.astype(jnp.int32)
+        d_oth = self._minstar_full(acc, m1)
+        outs = []
+        for t in range(d):
+            mag = jnp.where(arg == t, acc, d_oth)
+            outs.append(jnp.where(par ^ negs[t], -mag, mag))
+        return outs
+
+
 def _i8_thresholds():
     """The <=127-entry i8 correction table (arithmetic.rs:589-602) as
     compare thresholds: table[t] == sum_k [t <= T_k] because the table is
@@ -437,11 +638,17 @@ class AminstarI8Rule(_I8RuleBase):
 
 def rule_for(arithmetic):
     """Map a decoder.arithmetic instance to its fused kernel rule, or
-    None when the arithmetic has no fused implementation."""
+    None when the arithmetic has no fused implementation. All 18 reference
+    rule families (arithmetic.rs:158-1304) plus the min-sum extensions map
+    here; the i8 checks come first (they subclass Arithmetic too)."""
     from ..decoder.arithmetic import (
+        AminstarArithmetic,
         AminstarI8Arithmetic,
-        MinSumArithmetic,
+        MinstarApproxArithmetic,
         MinstarApproxI8Arithmetic,
+        MinSumArithmetic,
+        PhiArithmetic,
+        TanhArithmetic,
     )
 
     if isinstance(arithmetic, MinSumArithmetic):
@@ -456,6 +663,16 @@ def rule_for(arithmetic):
         return AminstarI8Rule(
             arithmetic.jones, arithmetic.hard_limit, arithmetic.deg1_clip
         )
+    if isinstance(arithmetic, PhiArithmetic):
+        return PhiRule(arithmetic.storage_dtype)
+    if isinstance(arithmetic, TanhArithmetic):
+        return TanhRule(
+            arithmetic.storage_dtype, arithmetic.clamp, arithmetic.prod_max
+        )
+    if isinstance(arithmetic, MinstarApproxArithmetic):
+        return MinstarApproxRule(arithmetic.storage_dtype)
+    if isinstance(arithmetic, AminstarArithmetic):
+        return AminstarRule(arithmetic.storage_dtype)
     return None
 
 

@@ -32,14 +32,18 @@ def initialize(**kwargs) -> None:
 
     On Cloud TPU pods the coordinator address and process ids are
     auto-detected; kwargs pass through to ``jax.distributed.initialize``.
+    Explicit kwargs (coordinator_address, num_processes, process_id) run
+    multi-process over plain TCP, e.g. CPU hosts in tests.
     """
-    if jax.process_count() > 1:
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and state.client is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
+        if kwargs:
+            raise  # an explicit multi-process setup failing is an error
         # single-process environment (tests, one host): nothing to do
-        pass
 
 
 def global_mesh():

@@ -72,6 +72,7 @@ def test_checkpoint_invalidated_by_params(small_code, tmp_path):
     assert len(out) == 2 and out[0].num_frames > 0
 
 
+@pytest.mark.slow
 def test_ber_lifted_fast_path_matches_generic():
     code = DvbCode.R8_9short
     h = code.h()
@@ -102,6 +103,7 @@ def test_ber_lifted_fast_path_matches_generic():
     )
 
 
+@pytest.mark.slow
 def test_ber_fused_sharded_matches_unsharded():
     """The fused Pallas decode (interpret mode on CPU) under a sharded
     mesh runs per-shard via shard_map and must reproduce the unsharded

@@ -143,17 +143,35 @@ def test_float_fer_parity(lib, mn_code, channel, impl):  # noqa: F811
     assert 0.01 < fer_ref < 0.95, fer_ref
 
 
-@pytest.mark.parametrize("impl", ["HLPhif64", "HLMinstarapproxi8"])
-def test_layered_fer_parity(lib, mn_code, channel, impl):  # noqa: F811
-    """Layered schedules sweep greedy-colored layer groups, not the
-    reference's 0..m row order (ARCHITECTURE.md "Known divergences"), so
-    individual trajectories legitimately differ; the FER statistic must
-    still match within Monte-Carlo confidence."""
+def test_layered_i8_bit_exact(lib, mn_code, channel):  # noqa: F811
+    """The generic layered schedule is serial-equivalent to the
+    reference's 0..m row sweep (decoder/layout.py extract_layers, commit
+    4cc96c5), so the quantized rule must agree frame-for-frame with the
+    scalar shim — success flags AND codewords."""
     llrs, _ = channel
+    impl = "HLMinstarapproxi8"
+    s_ref, cw_ref = _scalar_decode_all(lib, mn_code, impl, llrs)
+    s_jax, cw_jax = _jax_decode_all(mn_code, impl, llrs)
+    np.testing.assert_array_equal(s_ref, s_jax)
+    np.testing.assert_array_equal(cw_ref, cw_jax)
+    fer = 1 - s_ref.mean()
+    assert 0.001 < fer < 0.95, fer
+
+
+def test_layered_float_parity(lib, mn_code, channel):  # noqa: F811
+    """Float layered: per-frame agreement up to fold-order rounding flips
+    (same tolerance as the flooding float test) — the schedule itself is
+    serial-equivalent to the reference's row order."""
+    llrs, _ = channel
+    impl = "HLPhif64"
     s_ref, _ = _scalar_decode_all(lib, mn_code, impl, llrs)
     s_jax, _ = _jax_decode_all(mn_code, impl, llrs)
+    disagree = int(np.sum(s_ref != s_jax))
+    assert disagree <= max(3, 0.02 * N_FRAMES), (
+        impl,
+        disagree,
+        float(1 - s_ref.mean()),
+        float(1 - s_jax.mean()),
+    )
     fer_ref = 1 - s_ref.mean()
-    fer_jax = 1 - s_jax.mean()
-    ci = 3 * np.sqrt(max(fer_ref * (1 - fer_ref), 1e-4) / N_FRAMES)
-    assert abs(fer_jax - fer_ref) <= ci + 2 / N_FRAMES, (impl, fer_ref, fer_jax)
     assert 0.001 < fer_ref < 0.95, fer_ref

@@ -52,6 +52,7 @@ def test_waterfall_flooding(code_3_6):
     assert fers[2] < 0.1
 
 
+@pytest.mark.slow
 def test_layered_converges_faster(code_3_6):
     flood = _run(code_3_6, "Minstarapproxf32", [2.5])[0]
     layered = _run(code_3_6, "HLMinstarapproxf32", [2.5])[0]

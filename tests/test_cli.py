@@ -32,6 +32,58 @@ def test_parse_duration():
     assert parse_duration("5m") == 300
     assert parse_duration("1h 30m") == 5400
     assert parse_duration("90") == 90
+    for junk in ("5x", "1h 30q", "3s 4", "s", "4 5s", ""):
+        with pytest.raises(ValueError):
+            parse_duration(junk)
+
+
+def run_cli_streams(args):
+    """(stdout, stderr) of a CLI invocation."""
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        main(args)
+    return out.getvalue(), err.getvalue()
+
+
+def test_cli_girth_output_parity():
+    """Exact reference girth strings and streams: ccsds/dvbs2/5g print
+    ONLY the girth on stdout ("Code girth = N", cli/ccsds.rs:63-68,
+    cli/dvbs2.rs:84-89, cli/nr5g.rs:39-46; girth 6 per the reference's
+    doc examples); peg prints the alist then girth on stderr with the
+    long infinity wording (cli/peg.rs:66-71)."""
+    out, err = run_cli_streams(
+        ["ccsds", "--rate", "1/2", "--block-size", "1024", "--girth"]
+    )
+    assert out == "Code girth = 6\n" and err == ""
+    out, err = run_cli_streams(["dvbs2", "--rate", "1/2", "--short", "--girth"])
+    assert out == "Code girth = 6\n" and err == ""
+    out, err = run_cli_streams(
+        ["5g", "--base-graph", "2", "--lifting-size", "8", "--girth"]
+    )
+    assert out.startswith("Code girth = ") and err == ""
+    out, err = run_cli_streams(["peg", "8", "16", "3", "1", "--girth"])
+    assert out.splitlines()[0] == "16 8"  # alist still on stdout
+    assert err.startswith("Code girth = ")
+
+
+def test_cli_5g_invalid_lifting_size():
+    with pytest.raises(SystemExit):
+        run_cli_streams(["5g", "--base-graph", "1", "--lifting-size", "100"])
+
+
+def test_cli_alist_trailing_newline_parity():
+    """println! vs print! parity: the alist string itself ends with one
+    newline; mackay-neal/systematic/peg/5g println! it (one extra blank
+    line), ccsds/dvbs2/ccsds-c2 print! it (no extra)
+    (cli/mackay_neal.rs:111, cli/systematic.rs:24, cli/ccsds.rs:70)."""
+    out = run_cli(["mackay-neal", "8", "16", "6", "3", "42", "--uniform"])
+    assert out.endswith("\n\n") and not out.endswith("\n\n\n")
+    out = run_cli(["ccsds", "--rate", "1/2", "--block-size", "1024"])
+    assert out.endswith("\n") and not out.endswith("\n\n")
+    out = run_cli(["ccsds-c2"])
+    assert out.endswith("\n") and not out.endswith("\n\n")
+    out = run_cli(["5g", "--base-graph", "2", "--lifting-size", "8"])
+    assert out.endswith("\n\n") and not out.endswith("\n\n\n")
 
 
 def test_cli_mackay_neal_and_systematic(tmp_path):

@@ -86,6 +86,7 @@ def test_dvbs2_row_regularity():
             assert h.col_weight(t * 360 + w) == len(addr)
 
 
+@pytest.mark.slow
 def test_dvbs2_girth():
     assert DvbCode.R1_2.h().girth_with_max(6) == 6
 

@@ -70,40 +70,29 @@ def test_mackay_neal_search_serial_matches_parallel():
         assert conf.run(seed) == h
 
 
-def test_mackay_neal_search_uses_processes():
-    import os
+def test_mackay_neal_search_uses_processes(monkeypatch):
+    """Structural (not wall-clock) check that the multi-seed search fans
+    out over a spawn ProcessPoolExecutor with one task per seed — a timing
+    assertion here was flaky on loaded small hosts (round-2 VERDICT)."""
+    import concurrent.futures
 
-    if (os.cpu_count() or 1) < 2:
-        import pytest
+    import ldpc_toolbox_tpu.mackay_neal as mn
 
-        pytest.skip("single-core host")
-    import time
+    submitted = []
 
-    # a search where every seed does real CPU work (~2s of girth checks,
-    # deterministically exhausting girth_trials); with the GIL a thread
-    # pool would serialize this, processes overlap it.  Spawn startup is
-    # ~1-2s/worker, so the per-seed work must dominate for the timing
-    # assertion to be meaningful.
-    conf = MNConfig(
-        nrows=256,
-        ncols=512,
-        wr=6,
-        wc=3,
-        min_girth=8,
-        girth_trials=20000,
-        backtrack_cols=2,
-        backtrack_trials=50,
+    class RecordingPool(concurrent.futures.ProcessPoolExecutor):
+        def submit(self, fn, *args, **kwargs):
+            submitted.append(args[1])  # (conf, seed)
+            return super().submit(fn, *args, **kwargs)
+
+    monkeypatch.setattr(
+        mn.concurrent.futures, "ProcessPoolExecutor", RecordingPool
     )
-    n_seeds = 6
-    t0 = time.perf_counter()
-    serial = conf.search(0, n_seeds, max_workers=1)
-    t_serial = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    parallel = conf.search(0, n_seeds, max_workers=min(4, os.cpu_count() or 1))
-    t_parallel = time.perf_counter() - t0
-    assert (serial is None) == (parallel is None)
-    # >=2 cores must show real overlap despite spawn startup overhead
-    assert t_parallel < t_serial * 0.9
+    conf = MNConfig(nrows=8, ncols=16, wr=4, wc=2, fill_policy=FillPolicy.RANDOM)
+    found = conf.search(3, 6, max_workers=2)
+    assert found is not None
+    assert submitted == list(range(3, 9))  # every seed went to the pool
+    assert conf.run(found[0]) == found[1]
 
 
 def test_peg_basic():

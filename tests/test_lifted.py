@@ -175,7 +175,14 @@ def test_lifted_decodes_other_families(family):
     assert not decoded.any()  # all-zero codeword recovered
 
 
-@pytest.mark.parametrize("batch", [128, 200, 256])
+@pytest.mark.parametrize(
+    "batch",
+    [
+        128,
+        pytest.param(200, marks=pytest.mark.slow),
+        pytest.param(256, marks=pytest.mark.slow),
+    ],
+)
 def test_fused_matches_plane_gather_path(batch):
     """The fused Pallas kernels (interpret mode on CPU) must agree with
     the plane-gather path on success/iterations/codewords. Covers one
@@ -202,10 +209,47 @@ def test_fused_matches_plane_gather_path(batch):
 @pytest.mark.parametrize(
     "decoder",
     [
+        "Phif32",
+        pytest.param("Tanhf32", marks=pytest.mark.slow),
+        pytest.param("Minstarapproxf32", marks=pytest.mark.slow),
+        pytest.param("Aminstarf32", marks=pytest.mark.slow),
+    ],
+)
+def test_fused_float_matches_plane_gather_path(decoder):
+    """The fused Pallas rules of the reference's float families
+    (arithmetic.rs:158-580, 899-1072) must reproduce the plane-gather
+    path: same success masks, iteration counts and codewords (the folds
+    replicate the plane path's op sequence; the phi/tanh transcendental
+    rewrites for Pallas agree in every case this workload reaches)."""
+    code = DvbCode.R1_4short
+    h = code.h()
+    lg, _ = _lifted_for(code)
+    msgs, llr = _noisy_codeword_llrs(h, 128, 0.85, seed=2)
+    _, a = make_arithmetic(decoder)
+    o1 = lifted_flooding_decode(lg, a, llr, 12)
+    o2 = lifted_flooding_decode(lg, a, llr, 12, fused=True)
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+    assert s1.sum() >= 100
+
+
+@pytest.mark.parametrize(
+    "decoder",
+    [
         "Minstarapproxi8",
-        "Minstarapproxi8PartialHardLimit",
-        "Aminstari8",
-        "Aminstari8JonesPartialHardLimitDeg1Clip",
+        pytest.param(
+            "Minstarapproxi8PartialHardLimit", marks=pytest.mark.slow
+        ),
+        pytest.param("Aminstari8", marks=pytest.mark.slow),
+        pytest.param(
+            "Aminstari8JonesPartialHardLimitDeg1Clip", marks=pytest.mark.slow
+        ),
     ],
 )
 def test_fused_i8_matches_plane_gather_path(decoder):

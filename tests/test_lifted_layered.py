@@ -25,7 +25,16 @@ def _llrs(n, batch, sigma, seed):
     return jnp.asarray((-2.0 / sigma**2) * x, jnp.float32)
 
 
-@pytest.mark.parametrize("decoder", ["Minsumf32", "Minstarapproxi8"])
+@pytest.mark.parametrize(
+    "decoder",
+    [
+        "Minsumf32",
+        pytest.param("Minstarapproxi8", marks=pytest.mark.slow),
+        pytest.param("Phif32", marks=pytest.mark.slow),
+        pytest.param("Tanhf32", marks=pytest.mark.slow),
+        pytest.param("Aminstarf32", marks=pytest.mark.slow),
+    ],
+)
 def test_fused_layered_matches_jnp(decoder):
     """The fused layered kernel must reproduce the jnp lifted-layered
     reference bit-exactly (same layer order, fold order, wrap/clip

@@ -1,0 +1,100 @@
+"""Multi-host (multi-process) BER step over jax.distributed.
+
+SURVEY.md §5 names multi-host sweeps as a framework target: the batch
+shards over one global mesh, H is replicated, and the per-step counter
+reduction is the only cross-host traffic. This test runs TWO separate
+processes (each a fresh JAX runtime with 2 virtual CPU devices), boots
+``jax.distributed`` over localhost through ``multihost.initialize()``,
+builds the 4-device ``global_mesh()``, and drives one jitted BER step —
+asserting both processes observe identical (replicated) counters.
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+_REPO_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+
+_WORKER = r"""
+import json, os, sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from ldpc_toolbox_tpu.parallel.multihost import global_mesh, initialize
+
+initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=2,
+    process_id=pid,
+)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == pid
+assert len(jax.devices()) == 4, jax.devices()  # global view
+assert len(jax.local_devices()) == 2
+
+from ldpc_toolbox_tpu.mackay_neal import Config
+from ldpc_toolbox_tpu.simulation import BerTestBuilder
+from ldpc_toolbox_tpu.systematic import parity_to_systematic
+
+mesh = global_mesh()
+assert mesh.devices.size == 4
+h = parity_to_systematic(Config(nrows=16, ncols=32, wr=6, wc=3).run(4))
+test = BerTestBuilder(
+    h=h,
+    decoder_implementation="Phif32",
+    ebn0s_db=[4.0],
+    max_frame_errors=1,
+    max_iterations=5,
+    batch_size=8,
+    mesh=mesh,
+    seed=0,
+).build()
+key = jax.random.key(0)
+counters = {k: int(v) for k, v in jax.device_get(test._step(key, 0.7)).items()}
+print("COUNTERS " + json.dumps(counters, sort_keys=True), flush=True)
+"""
+
+
+def test_two_process_ber_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env={**os.environ, "PYTHONPATH": _REPO_ROOT},
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+        outs.append(out)
+    counters = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("COUNTERS ")]
+        assert line, out
+        counters.append(json.loads(line[-1][len("COUNTERS ") :]))
+    # replicated scalar counters must agree across processes
+    assert counters[0] == counters[1]
+    assert counters[0]["num_frames"] == 8
