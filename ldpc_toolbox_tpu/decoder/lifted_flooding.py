@@ -50,8 +50,8 @@ def lifted_flooding_decode(
     arithmetic,
     llrs,
     max_iterations: int,
-    
     fused: bool = False,
+    compact: bool = True,
 ):
     """Decode a (B, n) batch of channel LLRs on a lifted graph.
 
@@ -70,7 +70,7 @@ def lifted_flooding_decode(
         if rule is not None:
             try:
                 return _fused_flooding_decode(
-                    lg, arithmetic, rule, llrs, max_iterations
+                    lg, arithmetic, rule, llrs, max_iterations, compact
                 )
             except ValueError as e:
                 # multi-lane circulant gaps / degree caps: unfused fallback.
@@ -230,7 +230,8 @@ def lifted_flooding_decode(
 
 
 def _fused_flooding_decode(
-    lg: LiftedGraph, arithmetic, rule, llrs, max_iterations: int
+    lg: LiftedGraph, arithmetic, rule, llrs, max_iterations: int,
+    compact: bool = True,
 ):
     """Flooding via the v2 fused Pallas phase kernels.
 
@@ -307,6 +308,39 @@ def _fused_flooding_decode(
 
     ok0 = flags_to_ok(fused_syndrome_bits(bits0, layout))
 
+    inv = np.empty(lg.n, np.int64)
+    inv[col_of.reshape(-1)] = np.arange(VG * Z)
+
+    if compact:
+        from .compaction import staged_while_decode
+
+        def iteration(big, const):
+            (v2c_t,) = big
+            (q_t,) = const
+            c2v_t = fused_check(v2c_t, layout, rule)
+            v2c_t, bits = fused_var(c2v_t, q_t, layout, rule)
+            return (v2c_t,), bits
+
+        hard, iters, converged = staged_while_decode(
+            nbt=nbt,
+            bt=BT,
+            max_iterations=max_iterations,
+            init_big=(v2c0_t,),
+            const_big=(q_tiled,),
+            bits0=bits0,
+            ok0=ok0,
+            iteration=iteration,
+            syndrome_ok=lambda bits: flags_to_ok(
+                fused_syndrome_bits(bits, layout)
+            ),
+        )
+        codeword = hard.reshape(VG * Z, B)[jnp.asarray(inv)]
+        return {
+            "codeword": codeword.T.astype(jnp.uint8)[:B_user],
+            "iterations": iters[:B_user],
+            "success": converged[:B_user],
+        }
+
     def body(state):
         it, v2c_t, _bits, converged, iters, frozen = state
         c2v_t = fused_check(v2c_t, layout, rule)
@@ -330,8 +364,6 @@ def _fused_flooding_decode(
     hard_planes = untile(
         jnp.where(converged.reshape(nbt, 1, 1, BT), frozen, bits_final)
     ).astype(bool)
-    inv = np.empty(lg.n, np.int64)
-    inv[col_of.reshape(-1)] = np.arange(VG * Z)
     codeword = hard_planes.reshape(VG * Z, B)[jnp.asarray(inv)]
     iters = jnp.where(converged, iters, max_iterations)
     return {

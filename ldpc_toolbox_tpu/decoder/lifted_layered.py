@@ -42,9 +42,15 @@ def lifted_layered_decode(
     llrs,
     max_iterations: int,
     fused: bool = False,
+    compact: bool = True,
 ):
     """Decode a (B, n) batch of channel LLRs, layered schedule, lifted
-    layout. Same output contract as lifted_flooding_decode."""
+    layout. Same output contract as lifted_flooding_decode.
+
+    ``compact`` (fused path only) enables staged converged-frame
+    compaction (decoder/compaction.py) — bit-identical results, large
+    speedups at SNRs where most frames converge early.
+    """
     if fused:
         from ..ops.fused_bp2 import rule_for
         from ..ops.fused_layered import fused_layered_supported
@@ -52,7 +58,7 @@ def lifted_layered_decode(
         rule = rule_for(arithmetic)
         if rule is not None and fused_layered_supported(lg, rule):
             return _fused_layered_decode(
-                lg, arithmetic, rule, llrs, max_iterations
+                lg, arithmetic, rule, llrs, max_iterations, compact
             )
     return _jnp_layered_decode(lg, arithmetic, llrs, max_iterations)
 
@@ -200,7 +206,8 @@ def _jnp_layered_decode(lg, arithmetic, llrs, max_iterations):
     }
 
 
-def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations):
+def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
+                          compact=True):
     from ..ops.fused_layered import fused_layered_iteration
 
     Z = lg.Z
@@ -236,6 +243,34 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations):
         return flags[:, 0, :].reshape(-1) == 0
 
     ok0 = flags_to_ok(fused_syndrome_bits(bits0, layout))
+
+    if compact:
+        from .compaction import staged_while_decode
+
+        def iteration(big, const):
+            del const
+            qv, rcv = big
+            qv, rcv, bits = fused_layered_iteration(qv, rcv, layout, rule)
+            return (qv, rcv), bits
+
+        hard, iters, converged = staged_while_decode(
+            nbt=nbt,
+            bt=BT,
+            max_iterations=max_iterations,
+            init_big=(qv0_t, rcv0_t),
+            const_big=(),
+            bits0=bits0,
+            ok0=ok0,
+            iteration=iteration,
+            syndrome_ok=lambda bits: flags_to_ok(
+                fused_syndrome_bits(bits, layout)
+            ),
+        )
+        return {
+            "codeword": _codeword_from_planes(lg, col_of, hard)[:B_user],
+            "iterations": iters[:B_user],
+            "success": converged[:B_user],
+        }
 
     def body(state):
         it, qv_t, rcv_t, _bits, converged, iters, frozen = state

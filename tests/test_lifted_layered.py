@@ -154,3 +154,38 @@ def test_layered_converges_faster_than_flooding():
     il = np.asarray(ol["iterations"])[both].mean()
     if_ = np.asarray(of["iterations"])[both].mean()
     assert il <= 0.65 * if_, (il, if_)
+
+
+@pytest.mark.parametrize(
+    "decode",
+    [
+        lifted_layered_decode,
+        pytest.param(lifted_flooding_decode, marks=pytest.mark.slow),
+    ],
+)
+def test_compaction_bit_exact_multi_tile(decode):
+    """Staged converged-frame compaction (decoder/compaction.py) must be
+    bit-identical to the unstaged fused loop: same success, iterations,
+    and codewords for every frame — on a multi-tile batch (nbt=2) where
+    frames converge at different iterations, so both compaction stages
+    actually execute."""
+    bg = BaseGraph.BG2
+    z = 16
+    lg = LiftedGraph.from_sparse(bg.h(z), *nr5g_maps(bg, z))
+    n = bg.num_cols * z
+    llr = _llrs(n, 256, 1.3, seed=11)
+    _, a = make_arithmetic("Minsumf32")
+
+    o1 = decode(lg, a, llr, 10, fused=True, compact=False)
+    o2 = decode(lg, a, llr, 10, fused=True, compact=True)
+    s = np.asarray(o1["success"])
+    it = np.asarray(o1["iterations"])
+    # the schedule must hit a mix of early and late convergence for
+    # the compaction path to be meaningfully exercised
+    assert 0 < s.sum() < 256
+    assert len(np.unique(it[s])) >= 3
+    np.testing.assert_array_equal(s, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(it, np.asarray(o2["iterations"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
