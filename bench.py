@@ -64,14 +64,20 @@ def make_llrs(code, batch: int):
 
 
 def measure(code, graph, batch: int, reps: int):
-    """Returns a dict: Mbit/s, ms/iter, iterations executed, layout info."""
+    """Returns a dict: Mbit/s, ms/iter, iterations executed, layout info.
+
+    Honest axon timing: the runtime completes fetches out of order
+    (fetching one output forces only its own dependency chain), so EVERY
+    rep's iterations vector is fetched — all executions are provably
+    forced before the clock stops.
+    """
     import jax
     import numpy as np
 
     from ldpc_toolbox_tpu.decoder.factory import make_arithmetic
     from ldpc_toolbox_tpu.decoder.lifted_flooding import lifted_flooding_decode
     from ldpc_toolbox_tpu.decoder.lifted_layered import lifted_layered_decode
-    from ldpc_toolbox_tpu.ops.fused_bp2 import rule_for
+    from ldpc_toolbox_tpu.ops.fused_bp2 import build_fused_layout, rule_for
 
     # fused Pallas path on TPU; interpreted kernels are far too slow on
     # CPU, so a CPU run (smoke only) uses the plane-gather f32 path
@@ -86,25 +92,43 @@ def measure(code, graph, batch: int, reps: int):
     )
     llrs = jax.device_put(make_llrs(code, batch))
     int(fn(llrs)["iterations"][0])  # compile + warm
+
+    # single-call latency
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r = fn(llrs)
-    # fetch the LAST result only: TPU executes the queued calls in order
-    # on one stream, so its completion bounds them all — fetching per rep
-    # added a ~4 ms tunnel round trip to every rep
+    r = fn(llrs)
     iters = np.asarray(r["iterations"])
+    latency = time.perf_counter() - t0
+
+    # sustained throughput: queue all reps, fetch every result
+    t0 = time.perf_counter()
+    outs = [fn(llrs) for _ in range(reps)]
+    for o in outs:
+        np.asarray(o["iterations"])
     dt = (time.perf_counter() - t0) / reps
-    # iterations the while_loop actually executed (== its trip count:
-    # converged frames freeze their own count, stragglers run to the max)
+
+    # iterations actually executed (converged frames freeze their own
+    # count; the slowest frame's count is the executed trip count of its
+    # tile/stage)
     iters_run = int(iters.max())
     rule = rule_for(arith)
+    resident = False
+    if fused and schedule == "layered" and rule is not None:
+        from ldpc_toolbox_tpu.ops.resident_layered import (
+            resident_layered_supported,
+        )
+
+        resident = resident_layered_supported(
+            build_fused_layout(graph), rule, rule.qv_dtype(arith)
+        )
     return {
         "mbps": 1e-6 * code.k * batch / dt,
+        "latency_ms": 1e3 * latency,
         "ms_per_iter": 1e3 * dt / max(iters_run, 1),
         "iterations_executed": iters_run,
         "avg_iterations": float(iters.mean()),
         "schedule": schedule,
         "fused": fused,
+        "resident": resident,
         "msg_bytes": rule.storage_dtype.itemsize if rule is not None else 4,
         "qv_bytes": (
             rule.qv_dtype(arith).itemsize
@@ -188,7 +212,8 @@ def main():
         "metric": (
             f"decoded info throughput, DVB-S2 {CODE_NAME} n={code.n} "
             f"{DECODER if m['fused'] else 'Minsumf32 (cpu smoke)'} "
-            f"{m['schedule']} @ {EBN0_DB} dB (max {MAX_ITERS} iters)"
+            f"{m['schedule']}{' resident' if m['resident'] else ''} "
+            f"@ {EBN0_DB} dB (max {MAX_ITERS} iters)"
         ),
         "value": round(m["mbps"], 1),
         "unit": "Mbit/s",
@@ -196,8 +221,11 @@ def main():
         "iterations_executed": m["iterations_executed"],
         "avg_iterations": round(m["avg_iterations"], 2),
         "ms_per_iter": round(m["ms_per_iter"], 3),
+        "latency_ms": round(m["latency_ms"], 1),
     }
-    if m["fused"]:
+    if m["fused"] and not m["resident"]:
+        # HBM traffic model applies to the streaming kernels only (the
+        # resident kernel's per-iteration HBM traffic is ~zero)
         gbytes = hbm_traffic_model(graph, BATCH, m) / (
             1e6 * m["ms_per_iter"]
         )

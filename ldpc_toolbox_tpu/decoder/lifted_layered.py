@@ -43,13 +43,20 @@ def lifted_layered_decode(
     max_iterations: int,
     fused: bool = False,
     compact: bool = True,
+    resident: bool | None = None,
 ):
     """Decode a (B, n) batch of channel LLRs, layered schedule, lifted
     layout. Same output contract as lifted_flooding_decode.
 
-    ``compact`` (fused path only) enables staged converged-frame
-    compaction (decoder/compaction.py) — bit-identical results, large
-    speedups at SNRs where most frames converge early.
+    Fused-path variants (both bit-identical to the jnp reference):
+
+    * ``resident`` (default auto): the whole decode runs inside one
+      kernel with the tile state VMEM-resident — zero HBM traffic per
+      iteration, per-tile early exit (ops/resident_layered.py). Auto
+      selects it whenever the code's state fits the VMEM budget.
+    * otherwise the per-iteration streaming kernel
+      (ops/fused_layered.py) under a while_loop; ``compact`` enables
+      staged converged-frame compaction (decoder/compaction.py).
     """
     if fused:
         from ..ops.fused_bp2 import rule_for
@@ -58,7 +65,8 @@ def lifted_layered_decode(
         rule = rule_for(arithmetic)
         if rule is not None and fused_layered_supported(lg, rule):
             return _fused_layered_decode(
-                lg, arithmetic, rule, llrs, max_iterations, compact
+                lg, arithmetic, rule, llrs, max_iterations, compact,
+                resident,
             )
     return _jnp_layered_decode(lg, arithmetic, llrs, max_iterations)
 
@@ -207,8 +215,12 @@ def _jnp_layered_decode(lg, arithmetic, llrs, max_iterations):
 
 
 def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
-                          compact=True):
+                          compact=True, resident=None):
     from ..ops.fused_layered import fused_layered_iteration
+    from ..ops.resident_layered import (
+        resident_layered_decode,
+        resident_layered_supported,
+    )
 
     Z = lg.Z
     B_user = llrs.shape[0]
@@ -236,8 +248,25 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
         return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
     qv0_t = tile(qv0)
-    rcv0_t = jnp.zeros((nbt, layout.E, Z, BT), store)
     bits0 = tile((llr_planes <= 0).astype(jnp.int8))
+
+    if resident is None:
+        resident = resident_layered_supported(layout, rule, qv_store)
+    if resident:
+        bits, iters_t, conv_t = resident_layered_decode(
+            qv0_t, bits0, layout, rule, max_iterations
+        )
+        iters = iters_t[:, 0, :].reshape(-1)
+        converged = conv_t[:, 0, :].reshape(-1) != 0
+        return {
+            "codeword": _codeword_from_planes(lg, col_of, untile(bits))[
+                :B_user
+            ],
+            "iterations": iters[:B_user],
+            "success": converged[:B_user],
+        }
+
+    rcv0_t = jnp.zeros((nbt, layout.E, Z, BT), store)
 
     def flags_to_ok(flags):
         return flags[:, 0, :].reshape(-1) == 0

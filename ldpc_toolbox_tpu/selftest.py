@@ -16,7 +16,9 @@ from __future__ import annotations
 
 __all__ = ["run_selftest", "SELFTEST_FAMILIES"]
 
-#: one representative per fused rule family (all 7 check-rule kinds)
+#: one representative per fused rule family (all 7 check-rule kinds),
+#: plus the layered schedule (VMEM-resident kernel) for the flagship
+#: arithmetic and the i8 family
 SELFTEST_FAMILIES = [
     "Minsumbf16",
     "Phif32",
@@ -25,6 +27,8 @@ SELFTEST_FAMILIES = [
     "Aminstarf32",
     "Minstarapproxi8",
     "Aminstari8",
+    "HLMinsumbf16",
+    "HLMinstarapproxi8",
 ]
 
 
@@ -69,17 +73,27 @@ def run_selftest(
     )
     from .ops.fused_bp2 import rule_for
 
+    from .decoder.lifted_layered import (
+        _fused_layered_decode,
+        lifted_layered_decode,
+    )
+
     lg, llr_np = _workload(batch)
     llr = jax.device_put(jnp.asarray(llr_np))
     failures = []
     for name in families or SELFTEST_FAMILIES:
-        _, arith = make_arithmetic(name)
+        schedule, arith = make_arithmetic(name)
         rule = rule_for(arith)
         assert rule is not None, f"{name} has no fused rule"
         # no silent fallback: a failure to build/compile the fused path
         # is itself a selftest failure
-        fused = _fused_flooding_decode(lg, arith, rule, llr, iterations)
-        plane = lifted_flooding_decode(lg, arith, llr, iterations)
+        if schedule == "layered":
+            # resident kernel when the code fits, streaming otherwise
+            fused = _fused_layered_decode(lg, arith, rule, llr, iterations)
+            plane = lifted_layered_decode(lg, arith, llr, iterations)
+        else:
+            fused = _fused_flooding_decode(lg, arith, rule, llr, iterations)
+            plane = lifted_flooding_decode(lg, arith, llr, iterations)
         sf = np.asarray(fused["success"])
         sp = np.asarray(plane["success"])
         cw_f = np.asarray(fused["codeword"])

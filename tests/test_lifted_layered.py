@@ -1,6 +1,8 @@
 """Lifted horizontal-layered schedule: fused-vs-jnp equivalence, scalar
 serial oracle in layer order, and the convergence-speed property."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -159,7 +161,8 @@ def test_layered_converges_faster_than_flooding():
 @pytest.mark.parametrize(
     "decode",
     [
-        lifted_layered_decode,
+        # pin resident=False: compaction applies to the streaming kernel
+        functools.partial(lifted_layered_decode, resident=False),
         pytest.param(lifted_flooding_decode, marks=pytest.mark.slow),
     ],
 )
@@ -186,6 +189,31 @@ def test_compaction_bit_exact_multi_tile(decode):
     assert len(np.unique(it[s])) >= 3
     np.testing.assert_array_equal(s, np.asarray(o2["success"]))
     np.testing.assert_array_equal(it, np.asarray(o2["iterations"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+
+
+def test_resident_bit_exact_multi_tile():
+    """The VMEM-resident decode (ops/resident_layered.py) must equal the
+    streaming fused kernel and the jnp reference bit-for-bit on a
+    multi-tile batch with mixed convergence — including its in-kernel
+    0-iteration exit, per-frame freeze, and per-tile early exit."""
+    bg = BaseGraph.BG2
+    z = 16
+    lg = LiftedGraph.from_sparse(bg.h(z), *nr5g_maps(bg, z))
+    n = bg.num_cols * z
+    llr = _llrs(n, 256, 1.3, seed=11)
+    _, a = make_arithmetic("Minsumf32")
+
+    o1 = lifted_layered_decode(lg, a, llr, 10)  # jnp reference
+    o2 = lifted_layered_decode(lg, a, llr, 10, fused=True, resident=True)
+    s = np.asarray(o1["success"])
+    assert 0 < s.sum() < 256
+    np.testing.assert_array_equal(s, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
     np.testing.assert_array_equal(
         np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
     )
