@@ -202,6 +202,9 @@ def cpu_floor(code_name: str) -> float:
 
 
 def main():
+    from ldpc_toolbox_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()  # remote compiles are minutes; reuse across runs
     code, graph = build(CODE_NAME)
     m = measure(code, graph, batch=BATCH, reps=5)
     try:

@@ -51,7 +51,7 @@ def lifted_flooding_decode(
     llrs,
     max_iterations: int,
     fused: bool = False,
-    compact: bool = True,
+    compact: bool = False,
 ):
     """Decode a (B, n) batch of channel LLRs on a lifted graph.
 
@@ -62,6 +62,13 @@ def lifted_flooding_decode(
     any batch size (padded to a 128 multiple internally). Arithmetics or
     graphs without a fused implementation fall back to the plane-gather
     path below, which handles all 38 rules.
+
+    ``compact=True`` adds staged converged-frame compaction
+    (decoder/compaction.py) — bit-identical, faster at SNRs with long
+    convergence tails, but opt-in here: the staged flooding program
+    compiles 3 stage sizes x 3 kernels, a heavy compile through the
+    remote-compile tunnel. (The layered schedule gets per-tile early
+    exit from its VMEM-resident kernel instead.)
     """
     if fused:
         from ..ops.fused_bp2 import rule_for

@@ -121,7 +121,19 @@ def test_i8_fer_bit_exact(lib, mn_code, channel, impl):  # noqa: F811
     assert 0.01 < fer < 0.95, fer
 
 
-@pytest.mark.parametrize("impl", ["Phif64", "Minstarapproxf32"])
+@pytest.mark.parametrize(
+    "impl",
+    [
+        "Phif64",
+        "Minstarapproxf32",
+        # every f64 family vs the shim's real float64 (VERDICT r2 #10):
+        # on CPU the jax side also computes f64, so parity here is the
+        # recorded statement that the f64 names are faithful
+        pytest.param("Tanhf64", marks=pytest.mark.slow),
+        pytest.param("Aminstarf64", marks=pytest.mark.slow),
+        pytest.param("Minstarapproxf64", marks=pytest.mark.slow),
+    ],
+)
 def test_float_fer_parity(lib, mn_code, channel, impl):  # noqa: F811
     llrs, _ = channel
     s_ref, _ = _scalar_decode_all(lib, mn_code, impl, llrs)
