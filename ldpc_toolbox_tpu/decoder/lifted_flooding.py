@@ -271,8 +271,12 @@ def _fused_flooding_decode(
     if (
         layout.max_chk_degree > rule.max_check_degree
         or layout.max_var_degree > rule.max_var_degree
+        or not layout.fusable
     ):
-        raise ValueError("node degree too large for the fused kernels")
+        raise ValueError(
+            "graph unsupported by the fused kernels (degree or Z "
+            "alignment)"
+        )
     store = rule.storage_dtype
     nbt = B // BT
     VG, E = layout.VG, layout.E

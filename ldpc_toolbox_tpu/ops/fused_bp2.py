@@ -135,9 +135,15 @@ class FusedLayout:
 
     @property
     def fusable(self) -> bool:
+        # Z % 8: message planes are (Z, Bt) with Z on sublanes, and
+        # Mosaic's dynamic ``pltpu.roll`` over the sublane dim requires
+        # 8-alignment (CCSDS C2's Z=511 circulants hit this; its decode
+        # uses the XLA plane-gather path instead).  Interpret mode (CPU
+        # tests) has no such constraint.
         return (
             self.max_chk_degree <= MAX_DEGREE
             and self.max_var_degree <= MAX_DEGREE
+            and (self.Z % 8 == 0 or _interpret())
         )
 
 

@@ -33,7 +33,7 @@ def fused_layered_supported(lg, rule) -> bool:
         layout = build_fused_layout(lg)
     except ValueError:
         return False
-    return layout.max_chk_degree <= rule.max_check_degree
+    return layout.fusable and layout.max_chk_degree <= rule.max_check_degree
 
 
 def fused_layered_iteration(qv_t, rcv_t, layout: FusedLayout, rule):

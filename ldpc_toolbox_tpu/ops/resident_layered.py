@@ -49,7 +49,8 @@ def resident_layered_supported(layout: FusedLayout, rule, qdtype) -> bool:
     # stacked per-layer temporaries (x, rold, rnew planes) + syndrome acc
     tmp = (4 * layout.max_chk_degree + 16) * Z * BT * 4
     return (
-        layout.max_chk_degree <= rule.max_check_degree
+        layout.fusable
+        and layout.max_chk_degree <= rule.max_check_degree
         and qv + rcv + frozen + tmp <= VMEM_BUDGET
     )
 
