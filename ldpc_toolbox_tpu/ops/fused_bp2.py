@@ -433,8 +433,9 @@ class MinstarApproxRule(_FloatRuleBase):
     (arithmetic.rs:487-521) with prefix reuse — the float analog of
     MinstarApproxI8Rule."""
 
-    # O(d^2) unrolled fold: cap program size like the i8 rule
-    max_check_degree = 16
+    # O(d^2) unrolled fold: cap program size like the i8 rule. 19 =
+    # 5G-NR BG1's widest check row; DVB-S2 rows are narrower still.
+    max_check_degree = 19
 
     def _fold(self, a, b):
         return jnp.maximum(
@@ -563,8 +564,9 @@ class MinstarApproxI8Rule(_I8RuleBase):
     MinstarApproxI8Arithmetic fold sequence."""
 
     # the exact-order leave-one-out fold is O(d^2): cap the unrolled
-    # program size (wider checks fall back to the plane-gather path)
-    max_check_degree = 16
+    # program size (wider checks fall back to the plane-gather path).
+    # 19 = 5G-NR BG1's widest check row.
+    max_check_degree = 19
 
     def _fold(self, a, b):
         return jnp.maximum(

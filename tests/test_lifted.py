@@ -273,3 +273,36 @@ def test_fused_i8_matches_plane_gather_path(decoder):
         np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
     )
     assert 5 <= s1.sum()
+
+
+@pytest.mark.slow
+def test_fused_wide_check_degree_matches_plane_gather_path():
+    """5G-NR BG1 has check rows of degree 19 — the widest of any
+    standards family and above the Minstar rules' former unroll cap of
+    16.  The O(d^2) exact-order leave-one-out fold must stay
+    bit-identical to the unfused path at that width (fused_bp2
+    MinstarApproxI8Rule.max_check_degree)."""
+    from ldpc_toolbox_tpu.decoder.lifted import nr5g_maps
+
+    bg, z = BaseGraph.BG1, 16
+    h = bg.h(z)
+    lg = LiftedGraph.from_sparse(h, *nr5g_maps(bg, z))
+    assert max(b.degree for b in lg.chk_buckets) == 19
+    rng = np.random.default_rng(3)
+    sigma = 0.8
+    x = -1.0 + sigma * rng.standard_normal((128, h.num_cols)).astype(
+        np.float32
+    )
+    llr = (-2.0 / sigma**2) * x
+    _, a = make_arithmetic("Minstarapproxi8")
+    o1 = lifted_flooding_decode(lg, a, llr, 5)
+    o2 = lifted_flooding_decode(lg, a, llr, 5, fused=True)
+    np.testing.assert_array_equal(
+        np.asarray(o1["success"]), np.asarray(o2["success"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
