@@ -36,7 +36,9 @@ CACHE = pathlib.Path(__file__).parent / ".bench_baseline.json"
 CODE_NAME = os.environ.get("BENCH_CODE", "R1_2")
 EBN0_DB = float(os.environ.get("BENCH_EBN0", "1.0"))
 MAX_ITERS = int(os.environ.get("BENCH_MAX_ITERS", "30"))
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+# 1024 amortizes per-call dispatch over twice the tiles: 331.6 vs 321.2
+# Mbit/s sustained at B=512 (results/bench_table.jsonl)
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 # flagship: fused horizontal-layered min-sum with bf16 message storage
 DECODER = os.environ.get("BENCH_DECODER", "HLMinsumbf16")
 
