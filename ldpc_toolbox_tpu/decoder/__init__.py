@@ -47,16 +47,54 @@ class DecoderOutput:
 class Decoder:
     """A batched LDPC decoder for a fixed parity-check matrix."""
 
-    def __init__(self, h: SparseMatrix | DecodeGraph, implementation: str = "Phif64"):
+    def __init__(self, h, implementation: str = "Phif64"):
+        """``h``: a SparseMatrix / DecodeGraph (generic dual-gather
+        decode), a standards code object (``codes.dvbs2.Code``,
+        ``AR4JACode``, ``C2Code``), or a ``(BaseGraph, Z)`` pair for
+        5G-NR.  Code objects route to the block-circulant lifted decode
+        — the fused Pallas fast path on TPU (ops/fused_bp2.py)."""
+        self.lifted = None
+        if not isinstance(h, (SparseMatrix, DecodeGraph)):
+            from .lifted import LiftedGraph, lifted_graph_for, nr5g_maps
+
+            if isinstance(h, tuple):  # (BaseGraph, lifting size Z)
+                bg, z = h
+                hm = bg.h(z)
+                self.lifted = LiftedGraph.from_sparse(hm, *nr5g_maps(bg, z))
+                h = hm
+            else:
+                self.lifted = lifted_graph_for(h)
+                if self.lifted is None:
+                    raise TypeError(
+                        f"unsupported code object {type(h).__name__}"
+                    )
+                h = h.h()
         if isinstance(h, DecodeGraph):
             self.graph = h
         else:
             self.graph = DecodeGraph.from_sparse(h)
         self.implementation = implementation
         self.schedule, self.arithmetic = make_arithmetic(implementation)
-        self._decode_fn = (
-            flooding_decode if self.schedule == "flooding" else layered_decode
-        )
+        if self.lifted is not None:
+            from .lifted_flooding import lifted_flooding_decode
+            from .lifted_layered import lifted_layered_decode
+
+            fused = jax.default_backend() != "cpu"
+            base = (
+                lifted_flooding_decode
+                if self.schedule == "flooding"
+                else lifted_layered_decode
+            )
+            self._decode_fn = lambda _g, a, llrs, max_iterations: base(
+                self.lifted, a, llrs, max_iterations=max_iterations,
+                fused=fused,
+            )
+        else:
+            self._decode_fn = (
+                flooding_decode
+                if self.schedule == "flooding"
+                else layered_decode
+            )
         self._jitted: dict = {}
 
     def _get_jitted(self, max_iterations: int):

@@ -475,3 +475,39 @@ def test_i8_correction_table_values():
     # table is non-increasing and ends in zeros
     assert all(t[i] >= t[i + 1] for i in range(127))
     assert t[-1] == 0
+
+
+def test_decoder_routes_code_objects_to_lifted_path():
+    """Decoder() accepts standards code objects and a (BaseGraph, Z)
+    pair, routing them to the block-circulant lifted decode; outputs
+    must match the generic dual-gather decode on the same H exactly
+    (min-sum is fold-order-free)."""
+    from ldpc_toolbox_tpu.codes.ccsds import (
+        AR4JACode,
+        AR4JAInfoSize,
+        AR4JARate,
+    )
+    from ldpc_toolbox_tpu.codes.nr5g import BaseGraph
+
+    code = AR4JACode(AR4JARate.R1_2, AR4JAInfoSize.K1024)
+    h = code.h()
+    rng = np.random.default_rng(0)
+    sigma = 0.9
+    x = -1.0 + sigma * rng.standard_normal((8, h.num_cols)).astype(
+        np.float32
+    )
+    llr = (-2.0 / sigma**2) * x
+    d_code = Decoder(code, "Minsumf32")
+    assert d_code.lifted is not None
+    d_generic = Decoder(h, "Minsumf32")
+    o1 = d_code.decode_batch(llr, 10)
+    o2 = d_generic.decode_batch(llr, 10)
+    for k in ("success", "iterations", "codeword"):
+        np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]))
+
+    # 5G: (BaseGraph, Z) pair
+    d_5g = Decoder((BaseGraph.BG2, 16), "Minsumf32")
+    assert d_5g.lifted is not None and d_5g.graph.n == BaseGraph.BG2.h(16).num_cols
+
+    with pytest.raises(TypeError):
+        Decoder(object())
