@@ -274,8 +274,8 @@ def _fused_flooding_decode(
         or not layout.fusable
     ):
         raise ValueError(
-            "graph unsupported by the fused kernels (degree or Z "
-            "alignment)"
+            "graph unsupported by the fused kernels (node degree above "
+            "the VMEM unroll cap)"
         )
     store = rule.storage_dtype
     nbt = B // BT
@@ -298,12 +298,19 @@ def _fused_flooding_decode(
         )
         q_planes = arithmetic.quantize(llr_planes).astype(store)
 
-    def tile(x):  # (P, Z, B) -> (nbt, P, Z, Bt)
-        P = x.shape[0]
-        return x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+    lane_pad = layout.Zp - Z  # mod-Z roll padding (e.g. C2's Z=511->512)
 
-    def untile(x):  # (nbt, P, Z, Bt) -> (P, Z, B)
+    def tile(x):  # (P, Z, B) -> (nbt, P, Zp, Bt)
+        P = x.shape[0]
+        x = x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+        if lane_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, lane_pad), (0, 0)))
+        return x
+
+    def untile(x):  # (nbt, P, Zp, Bt) -> (P, Z, B)
         P = x.shape[1]
+        if lane_pad:
+            x = x[:, :, :Z, :]
         return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
     q_tiled = tile(q_planes)
@@ -345,6 +352,8 @@ def _fused_flooding_decode(
                 fused_syndrome_bits(bits, layout)
             ),
         )
+        if lane_pad:
+            hard = hard[:, :Z, :]
         codeword = hard.reshape(VG * Z, B)[jnp.asarray(inv)]
         return {
             "codeword": codeword.T.astype(jnp.uint8)[:B_user],

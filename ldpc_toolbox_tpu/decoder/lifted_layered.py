@@ -239,12 +239,19 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
     q = arithmetic.quantize(llr_planes)
     qv0 = arithmetic.llr_to_var_llr(q).astype(qv_store)
 
-    def tile(x):
-        P = x.shape[0]
-        return x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+    lane_pad = layout.Zp - Z  # mod-Z roll padding (e.g. C2's Z=511->512)
 
-    def untile(x):
+    def tile(x):  # (P, Z, B) -> (nbt, P, Zp, Bt)
+        P = x.shape[0]
+        x = x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+        if lane_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, lane_pad), (0, 0)))
+        return x
+
+    def untile(x):  # (nbt, P, Zp, Bt) -> (P, Z, B)
         P = x.shape[1]
+        if lane_pad:
+            x = x[:, :, :Z, :]
         return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
     qv0_t = tile(qv0)
@@ -266,7 +273,7 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
             "success": converged[:B_user],
         }
 
-    rcv0_t = jnp.zeros((nbt, layout.E, Z, BT), store)
+    rcv0_t = jnp.zeros((nbt, layout.E, layout.Zp, BT), store)
 
     def flags_to_ok(flags):
         return flags[:, 0, :].reshape(-1) == 0
@@ -295,6 +302,8 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
                 fused_syndrome_bits(bits, layout)
             ),
         )
+        if lane_pad:
+            hard = hard[:, :Z, :]
         return {
             "codeword": _codeword_from_planes(lg, col_of, hard)[:B_user],
             "iterations": iters[:B_user],

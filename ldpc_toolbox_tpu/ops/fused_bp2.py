@@ -99,6 +99,7 @@ class FusedLayout:
     """
 
     Z: int
+    Zp: int  # padded sublane count: Z rounded up to a multiple of 8
     E: int  # base edges
     CG: int  # check groups (flattened, bucket-major)
     VG: int  # var groups (flattened, bucket-major)
@@ -134,16 +135,18 @@ class FusedLayout:
         return max((m.d for m in self.var_meta), default=0)
 
     @property
+    def pad(self) -> int:
+        """Pad lanes per plane (Zp - Z). Non-zero only for codes whose
+        lift violates Mosaic's 8-sublane alignment for dynamic rolls
+        (CCSDS C2's Z=511): planes are stored (Zp, Bt) and every rotate
+        uses the two-roll mod-Z decomposition in ``_roll``."""
+        return self.Zp - self.Z
+
+    @property
     def fusable(self) -> bool:
-        # Z % 8: message planes are (Z, Bt) with Z on sublanes, and
-        # Mosaic's dynamic ``pltpu.roll`` over the sublane dim requires
-        # 8-alignment (CCSDS C2's Z=511 circulants hit this; its decode
-        # uses the XLA plane-gather path instead).  Interpret mode (CPU
-        # tests) has no such constraint.
         return (
             self.max_chk_degree <= MAX_DEGREE
             and self.max_var_degree <= MAX_DEGREE
-            and (self.Z % 8 == 0 or _interpret())
         )
 
 
@@ -222,6 +225,7 @@ def build_fused_layout(lg) -> FusedLayout:
 
     return FusedLayout(
         Z=Z,
+        Zp=((Z + 7) // 8) * 8,
         E=E,
         CG=CG,
         VG=VG,
@@ -243,11 +247,33 @@ def build_fused_layout(lg) -> FusedLayout:
     )
 
 
-def _roll(x, amount):
-    """Dynamic circular shift along the sublane axis (32-bit lowering)."""
+def _roll(x, amount, pad=0):
+    """Dynamic mod-Z circular shift along the sublane axis.
+
+    ``pad == 0``: plain ``pltpu.roll`` (32-bit lowering).
+
+    ``pad > 0``: the plane has ``Zp = Z + pad`` sublanes but circulant
+    semantics are mod ``Z`` (Mosaic's dynamic sublane roll needs the
+    sublane count 8-aligned, so Z=511 codes like CCSDS C2 store planes
+    padded to Zp=512). A mod-Z rotate of the live lanes decomposes into
+    two aligned mod-Zp rolls selected by output lane:
+
+        y[j] = roll(x, s)[j]        for j >= s   (x[j-s], no wrap)
+        y[j] = roll(x, s + pad)[j]  for j <  s   (x[j-s+Z], the wrap)
+
+    Live output lanes (< Z) only ever read live input lanes, so garbage
+    in the pad lanes cannot leak; the pad lanes of ``y`` are garbage and
+    must be re-poked neutral by the caller (same mechanism as the
+    missing-lane pokes).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.roll(x, amount, 0)
+    if pad == 0:
+        return pltpu.roll(x, amount, 0)
+    a = pltpu.roll(x, amount, 0)
+    b = pltpu.roll(x, amount + pad, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(lane < amount, b, a)
 
 
 class MinSumRule:
@@ -728,7 +754,8 @@ def fused_check(v2c, layout: FusedLayout, rule):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nbt, E, Z, Bt = v2c.shape
+    nbt, E, Z, Bt = v2c.shape  # Z here is the padded plane height (Zp)
+    pad = Z - layout.Z
     CG = layout.CG
     total = nbt * CG
     metas = layout.chk_meta
@@ -807,8 +834,11 @@ def fused_check(v2c, layout: FusedLayout, rule):
             lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
-                o = _roll(outs[t], rot_ref[e])
-                o = jnp.where(lane == mask_ref[e], 0, o)
+                o = _roll(outs[t], rot_ref[e], pad)
+                poke = lane == mask_ref[e]
+                if pad:
+                    poke |= lane >= layout.Z
+                o = jnp.where(poke, 0, o)
                 obuf[wslot, t] = o.astype(dtype)
             for c in write_copies(m, idx2, wslot):
                 c.start()
@@ -869,7 +899,8 @@ def fused_var(c2v, q_tiled, layout: FusedLayout, rule):
     from jax.experimental.pallas import tpu as pltpu
 
     init = c2v is None
-    nbt, _VG, Z, Bt = q_tiled.shape
+    nbt, _VG, Z, Bt = q_tiled.shape  # Z = padded plane height (Zp)
+    pad = Z - layout.Z
     E = layout.E
     VG = layout.VG
     total = nbt * VG
@@ -981,8 +1012,11 @@ def fused_var(c2v, q_tiled, layout: FusedLayout, rule):
             lane = jax.lax.broadcasted_iota(jnp.int32, (Z, Bt), 0)
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
-                o = _roll(outs[t], rot_ref[e])
-                o = jnp.where(lane == mask_ref[e], big, o)
+                o = _roll(outs[t], rot_ref[e], pad)
+                poke = lane == mask_ref[e]
+                if pad:
+                    poke |= lane >= layout.Z
+                o = jnp.where(poke, big, o)
                 obuf[wslot, t] = o.astype(dtype)
             bbuf[wslot] = (tot <= 0).astype(jnp.int8)
             for c in write_copies(m, idx2, wslot):
@@ -1048,7 +1082,8 @@ def fused_syndrome_bits(bits, layout: FusedLayout):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nbt, VG, Z, Bt = bits.shape
+    nbt, VG, Z, Bt = bits.shape  # Z = padded plane height (Zp)
+    pad = Z - layout.Z
     metas = layout.chk_meta
 
     def kernel(bits_ref, out_ref, fbuf):
@@ -1068,7 +1103,15 @@ def fused_syndrome_bits(bits, layout: FusedLayout):
                     mask = int(layout.syn_mask[e])
                     b = fbuf[vg]
                     if rot:
+                        # static mod-Z roll; two-roll decomposition on
+                        # padded planes (see _roll)
                         b = pltpu.roll(b, rot, 0)
+                        if pad:
+                            b = jnp.where(
+                                lane < rot,
+                                pltpu.roll(fbuf[vg], rot + pad, 0),
+                                b,
+                            )
                     if mask >= 0:
                         b = jnp.where(lane == mask, 0.0, b)
                     par = b if par is None else par + b
@@ -1080,6 +1123,9 @@ def fused_syndrome_bits(bits, layout: FusedLayout):
         if acc is None:
             out_ref[...] = jnp.zeros_like(out_ref)
             return
+        if pad:
+            # pad lanes of acc carry wrapped-garbage parities
+            acc = jnp.where(lane >= layout.Z, 0.0, acc)
         bad = (jnp.max(acc, axis=0, keepdims=True) > 0.5).astype(jnp.int8)
         out_ref[0] = jnp.broadcast_to(bad, (8, Bt))
 

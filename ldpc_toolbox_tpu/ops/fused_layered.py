@@ -46,7 +46,8 @@ def fused_layered_iteration(qv_t, rcv_t, layout: FusedLayout, rule):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nbt, VG, Z, Bt = qv_t.shape
+    nbt, VG, Z, Bt = qv_t.shape  # Z = padded plane height (Zp)
+    pad = Z - layout.Z
     E = layout.E
     CG = layout.CG
     total = nbt * CG
@@ -134,17 +135,25 @@ def fused_layered_iteration(qv_t, rcv_t, layout: FusedLayout, rule):
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
                 rold = in_buf[islot, t].astype(compute)
-                qc = _roll(qv_buf[vg_ref[e]].astype(compute), rvc_ref[e])
+                qc = _roll(
+                    qv_buf[vg_ref[e]].astype(compute), rvc_ref[e], pad
+                )
                 x = rule.layered_x(qc, rold)
-                x = jnp.where(lane == mask_ref[e], big, x)
+                poke = lane == mask_ref[e]
+                if pad:
+                    poke |= lane >= layout.Z
+                x = jnp.where(poke, big, x)
                 rolds.append(rold)
                 xs.append(x)
             rnews = rule.check(xs)
             for t in range(m.d):
                 e = m.ebase + (g - m.g0) * m.d + t
-                rn = jnp.where(lane == mask_ref[e], 0, rnews[t])
+                poke = lane == mask_ref[e]
+                if pad:
+                    poke |= lane >= layout.Z
+                rn = jnp.where(poke, 0, rnews[t])
                 obuf[wslot, t] = rn.astype(store)
-                dv = _roll(rn - rolds[t], rcv_ref_rot[e])
+                dv = _roll(rn - rolds[t], rcv_ref_rot[e], pad)
                 qv_buf[vg_ref[e]] = (
                     qv_buf[vg_ref[e]].astype(compute) + dv
                 ).astype(qdtype)

@@ -42,7 +42,7 @@ VMEM_LIMIT = 125 * 2**20
 
 
 def resident_layered_supported(layout: FusedLayout, rule, qdtype) -> bool:
-    Z = layout.Z
+    Z = layout.Zp  # planes are stored at the padded height
     qv = layout.VG * Z * BT * jnp.dtype(qdtype).itemsize
     rcv = layout.E * Z * BT * jnp.dtype(rule.storage_dtype).itemsize
     frozen = layout.VG * Z * BT
@@ -69,7 +69,8 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nbt, VG, Z, Bt = qv0_t.shape
+    nbt, VG, Z, Bt = qv0_t.shape  # Z = padded plane height (Zp)
+    pad = Z - layout.Z
     E = layout.E
     CG = layout.CG
     metas = layout.chk_meta
@@ -81,7 +82,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
     ITERS = int(max_iterations)
 
     rot_vc = layout.syn_rot  # +s: var -> check coords
-    rot_cv = ((Z - layout.syn_rot) % Z).astype(np.int32)
+    rot_cv = ((layout.Z - layout.syn_rot) % layout.Z).astype(np.int32)
 
     # static per-bucket "any missing lane" flags: skip the mask pokes for
     # the (overwhelmingly common) clean buckets
@@ -125,7 +126,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
                             b = (
                                 qv_buf[vg].astype(compute) <= 0
                             ).astype(jnp.float32)
-                        b = _roll(b, rvc_ref[e])
+                        b = _roll(b, rvc_ref[e], pad)
                         if masked:
                             b = jnp.where(lane == mask_ref[e], 0.0, b)
                         par = b if par is None else par + b
@@ -139,6 +140,9 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
                 if m.d == 0:
                     continue
                 acc = acc_meta(acc, m, bucket_has_mask[mi])
+            if pad:
+                # pad lanes of acc carry wrapped-garbage parities
+                acc = jnp.where(lane >= layout.Z, 0.0, acc)
             bad = jnp.max(acc, axis=0, keepdims=True) > 0.5
             return jnp.broadcast_to(~bad, (8, Bt)).astype(jnp.int32)
 
@@ -175,21 +179,29 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
                         e = m.ebase + (g - m.g0) * d + t
                         rold = rcv_buf[cs + t].astype(compute)
                         qc = _roll(
-                            qv_buf[vg_ref[e]].astype(compute), rvc_ref[e]
+                            qv_buf[vg_ref[e]].astype(compute),
+                            rvc_ref[e],
+                            pad,
                         )
                         x = rule.layered_x(qc, rold)
-                        if masked:
-                            x = jnp.where(lane == mask_ref[e], big, x)
+                        if masked or pad:
+                            poke = lane == mask_ref[e]
+                            if pad:
+                                poke |= lane >= layout.Z
+                            x = jnp.where(poke, big, x)
                         rolds.append(rold)
                         xs.append(x)
                     rnews = rule.check(xs)
                     for t in range(d):
                         e = m.ebase + (g - m.g0) * d + t
                         rn = rnews[t]
-                        if masked:
-                            rn = jnp.where(lane == mask_ref[e], 0, rn)
+                        if masked or pad:
+                            poke = lane == mask_ref[e]
+                            if pad:
+                                poke |= lane >= layout.Z
+                            rn = jnp.where(poke, 0, rn)
                         rcv_buf[cs + t] = rn.astype(store)
-                        dv = _roll(rn - rolds[t], rot_cv_ref[e])
+                        dv = _roll(rn - rolds[t], rot_cv_ref[e], pad)
                         qv_buf[vg_ref[e]] = (
                             qv_buf[vg_ref[e]].astype(compute) + dv
                         ).astype(qdtype)

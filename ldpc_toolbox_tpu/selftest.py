@@ -18,7 +18,10 @@ __all__ = ["run_selftest", "SELFTEST_FAMILIES"]
 
 #: one representative per fused rule family (all 7 check-rule kinds),
 #: plus the layered schedule (VMEM-resident kernel) for the flagship
-#: arithmetic and the i8 family
+#: arithmetic and the i8 family. The ``c2:`` entries rerun both
+#: schedules on CCSDS C2, whose Z=511 lift exercises the padded
+#: two-roll mod-Z rotation (ops/fused_bp2.py ``_roll``) that no
+#: 8-aligned code reaches.
 SELFTEST_FAMILIES = [
     "Minsumbf16",
     "Phif32",
@@ -29,6 +32,8 @@ SELFTEST_FAMILIES = [
     "Aminstari8",
     "HLMinsumbf16",
     "HLMinstarapproxi8",
+    "c2:Minsumbf16",
+    "c2:HLMinsumbf16",
 ]
 
 
@@ -51,6 +56,23 @@ def _workload(batch: int):
     cw = np.asarray(enc.encode_batch(msgs))
     sigma = 0.85
     x = np.where(cw == 0, -1.0, 1.0) + sigma * rng.standard_normal(cw.shape)
+    llr = ((-2.0 / sigma**2) * x).astype(np.float32)
+    return lg, llr
+
+
+def _workload_c2(batch: int):
+    """CCSDS C2 (8176, 7154), all-zero codeword at its waterfall: the
+    only standards lift with Z % 8 != 0 (Z=511), covering the padded
+    mod-Z roll decomposition on-device."""
+    import numpy as np
+
+    from .codes.ccsds import C2Code
+    from .decoder.lifted import lifted_graph_for
+
+    lg = lifted_graph_for(C2Code())
+    rng = np.random.default_rng(3)
+    sigma = 0.45
+    x = -1.0 + sigma * rng.standard_normal((batch, 8176))
     llr = ((-2.0 / sigma**2) * x).astype(np.float32)
     return lg, llr
 
@@ -78,11 +100,20 @@ def run_selftest(
         lifted_layered_decode,
     )
 
-    lg, llr_np = _workload(batch)
-    llr = jax.device_put(jnp.asarray(llr_np))
+    workloads = {}
+
+    def workload_for(key):
+        if key not in workloads:
+            build = _workload_c2 if key == "c2" else _workload
+            g, llr_np = build(batch)
+            workloads[key] = (g, jax.device_put(jnp.asarray(llr_np)))
+        return workloads[key]
+
     failures = []
     for name in families or SELFTEST_FAMILIES:
-        schedule, arith = make_arithmetic(name)
+        key, _, decoder = name.rpartition(":")
+        lg, llr = workload_for(key or "dvbs2")
+        schedule, arith = make_arithmetic(decoder)
         rule = rule_for(arith)
         assert rule is not None, f"{name} has no fused rule"
         # no silent fallback: a failure to build/compile the fused path

@@ -306,3 +306,33 @@ def test_fused_wide_check_degree_matches_plane_gather_path():
     np.testing.assert_array_equal(
         np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
     )
+
+
+def test_fused_unaligned_z_matches_plane_gather_path():
+    """CCSDS C2's Z=511 lift is the only standards family whose lift
+    violates Mosaic's 8-sublane alignment: the fused kernels store its
+    planes padded to Zp=512 and rotate with the two-roll mod-Z
+    decomposition (ops/fused_bp2.py `_roll`). Must agree with the
+    unpadded plane-gather path on success/iterations/codewords."""
+    lg, h = _lifted_for(C2Code())
+    assert lg.Z % 8 != 0  # the property under test
+    rng = np.random.default_rng(4)
+    sigma = 0.45
+    x = -1.0 + sigma * rng.standard_normal((128, h.num_cols)).astype(
+        np.float32
+    )
+    llr = jnp.asarray((-2.0 / sigma**2) * x)
+    _, a = make_arithmetic("Minsumf32")
+    o1 = lifted_flooding_decode(lg, a, llr, 5)
+    o2 = lifted_flooding_decode(lg, a, llr, 5, fused=True)
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"])[s1], np.asarray(o2["codeword"])[s1]
+    )
+    # a meaningful share converges within the 5-iteration budget, so the
+    # equality assertions above compare real decodes, not all-failures
+    assert s1.sum() >= 30

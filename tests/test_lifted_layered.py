@@ -220,3 +220,30 @@ def test_resident_bit_exact_multi_tile():
     np.testing.assert_array_equal(
         np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("resident", [True, False])
+def test_layered_unaligned_z_matches_jnp(resident):
+    """C2's Z=511 lift through the layered kernels (padded planes +
+    two-roll mod-Z rotation): resident and streaming variants must both
+    reproduce the jnp layered reference bit-exactly."""
+    from ldpc_toolbox_tpu.codes.ccsds import C2Code
+
+    lg = lifted_graph_for(C2Code())
+    assert lg.Z % 8 != 0
+    llr = _llrs(8176, 128, 0.45, seed=5)
+    _, a = make_arithmetic("HLMinsumf32")
+    o1 = lifted_layered_decode(lg, a, llr, 8)
+    o2 = lifted_layered_decode(
+        lg, a, llr, 8, fused=True, resident=resident, compact=False
+    )
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"])[s1], np.asarray(o2["codeword"])[s1]
+    )
+    assert s1.sum() >= 120
