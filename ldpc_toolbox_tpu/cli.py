@@ -341,6 +341,38 @@ def _resolve_ber_code(spec: str):
     _die(f"cannot resolve code spec or alist path {spec!r}")
 
 
+def _systematic_perm_if_needed(h):
+    """(perm, encoder_h) when H cannot build a direct systematic
+    encoder, (None, None) otherwise.
+
+    C2's trailing square submatrix is singular — and its H is even
+    rank-deficient (1022 rows, rank 1020: the (8176, 7156) code, where
+    the reference's own `systematic` subcommand errors out). For such
+    codes this CLI reduces H to its full-rank row space for *encoding*
+    (systematic.full_rank_rows) and computes the systematic column
+    permutation; the harness encodes on encoder_h[:, perm] while the
+    channel and (lifted fast-path) decoder run in the original column
+    order with every redundant check intact."""
+    from .encoder import Encoder, EncoderError
+    from .systematic import (
+        SystematicError,
+        full_rank_rows,
+        systematic_permutation,
+    )
+
+    try:
+        Encoder(h)
+        return None, None
+    except EncoderError:
+        pass
+    h_enc = full_rank_rows(h)
+    try:
+        perm = systematic_permutation(h_enc)
+    except SystematicError as e:
+        _die(str(e))
+    return perm, (None if h_enc is h else h_enc)
+
+
 def run_selftest(args) -> None:
     """Framework extension (not a reference subcommand): on-device
     fused-kernel exactness check, one small decode per rule family
@@ -372,6 +404,7 @@ def run_ber(args) -> None:
         _die(f"invalid code spec {args.alist!r}: {e!r}")
     if args.no_lifted:
         lifted = None
+    sys_perm, enc_h = _systematic_perm_if_needed(h)
     num_ebn0s = int((args.max_ebn0 - args.min_ebn0) / args.step_ebn0) + 1
     ebn0s = [args.min_ebn0 + i * args.step_ebn0 for i in range(num_ebn0s)]
 
@@ -434,6 +467,8 @@ def run_ber(args) -> None:
         lifted_graph=lifted,
         checkpoint_path=args.checkpoint,
         profile_dir=args.profile_dir,
+        systematic_permutation=sys_perm,
+        encoder_h=enc_h,
     )
     try:
         test = test.build()

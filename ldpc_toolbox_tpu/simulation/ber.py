@@ -115,6 +115,19 @@ class BerTestParameters:
     checkpoint_path: Optional[str] = None
     # directory for jax.profiler traces (one trace per Eb/N0 point)
     profile_dir: Optional[str] = None
+    # column permutation to a systematic-encodable form (systematic.py
+    # systematic_permutation): encoding happens on h[:, perm] (whose
+    # trailing square is invertible), the channel/decoder run in the
+    # original column order (preserving the lifted fast path), and bit
+    # errors are counted on the message positions perm[:k]. Needed for
+    # codes like CCSDS C2 whose own trailing square is singular.
+    systematic_permutation: Optional[object] = None
+    # full-rank encoding matrix for rank-deficient codes (systematic.py
+    # full_rank_rows): same null space as h but with redundant rows
+    # dropped, so k = n - rank. Encoding/permutation use this matrix;
+    # the decoder keeps h's redundant checks. CCSDS C2's 1022-row H has
+    # rank 1020 — the (8176, 7156) code of the CCSDS docs.
+    encoder_h: Optional[SparseMatrix] = None
 
 
 @dataclass
@@ -178,7 +191,8 @@ class BerTest:
         self.p = p
         self.modulation = modulation if modulation is not None else Bpsk()
         h = p.h
-        self.k = h.num_cols - h.num_rows
+        enc_h = p.encoder_h if p.encoder_h is not None else h
+        self.k = h.num_cols - enc_h.num_rows
         self.n_cw = h.num_cols
         self.puncturer = (
             Puncturer(p.puncturing_pattern) if p.puncturing_pattern else None
@@ -191,7 +205,21 @@ class BerTest:
         punct_rate = self.puncturer.rate() if self.puncturer else 1.0
         self.n = round(self.n_cw / punct_rate)
         self.rate = self.k / self.n
-        self.encoder = Encoder(h)
+        if p.systematic_permutation is not None:
+            import numpy as np
+
+            from ..systematic import permute_columns
+
+            perm = np.asarray(p.systematic_permutation, np.int64)
+            self.encoder = Encoder(permute_columns(enc_h, perm))
+            # permuted codeword -> original column order for the channel
+            self._enc_unperm = jnp.asarray(np.argsort(perm))
+            # message bits live at these original-order positions
+            self._msg_cols = jnp.asarray(perm[: self.k])
+        else:
+            self.encoder = Encoder(enc_h)
+            self._enc_unperm = None
+            self._msg_cols = None
         self.schedule, self.arithmetic = make_arithmetic(
             p.decoder_implementation
         )
@@ -248,6 +276,8 @@ class BerTest:
 
                 msg = shard_batch(msg, mesh)
             cw = self.encoder._encode_batch(msg)
+            if self._enc_unperm is not None:
+                cw = cw[:, self._enc_unperm]
             tx = self.puncturer.puncture(cw) if self.puncturer else cw
             tx = self.interleaver.interleave(tx) if self.interleaver else tx
             sym = mod.modulate(tx)
@@ -259,9 +289,12 @@ class BerTest:
                 self.graph, self.arithmetic, llr, p.max_iterations
             )
             # bit errors on systematic bits only (ber.rs:467-472)
-            errbits = jnp.sum(
-                out["codeword"][:, :k] != msg, axis=1, dtype=jnp.int32
+            sys_bits = (
+                out["codeword"][:, :k]
+                if self._msg_cols is None
+                else out["codeword"][:, self._msg_cols]
             )
+            errbits = jnp.sum(sys_bits != msg, axis=1, dtype=jnp.int32)
             frame_err = errbits > 0
             false_dec = frame_err & out["success"]
             iters = out["iterations"]

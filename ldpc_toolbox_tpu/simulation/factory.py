@@ -56,6 +56,8 @@ class BerTestBuilder:
     fused: Optional[bool] = None
     checkpoint_path: Optional[str] = None
     profile_dir: Optional[str] = None
+    systematic_permutation: Optional[object] = None
+    encoder_h: Optional[SparseMatrix] = None
 
     def build(self) -> BerTest:
         params = BerTestParameters(
@@ -77,5 +79,7 @@ class BerTestBuilder:
             fused=self.fused,
             checkpoint_path=self.checkpoint_path,
             profile_dir=self.profile_dir,
+            systematic_permutation=self.systematic_permutation,
+            encoder_h=self.encoder_h,
         )
         return BerTest(params, self.modulation.instance())

@@ -154,3 +154,50 @@ def test_ber_sharded_matches_unsharded(small_code):
     assert sharded[0].num_frames == plain[0].num_frames
     assert sharded[0].ldpc.bit_errors == plain[0].ldpc.bit_errors
     assert sharded[0].ldpc.frame_errors == plain[0].ldpc.frame_errors
+
+
+def test_ber_systematic_permutation_end_to_end():
+    """Codes whose trailing square is singular (CCSDS C2,
+    codes/ccsds.py) can't build a direct systematic encoder; the harness
+    accepts a `systematic_permutation` (systematic.py), encodes on
+    h[:, perm], maps the codeword back to original column order for the
+    channel/decoder, and counts bit errors at perm[:k]. At high SNR a
+    small sweep must produce zero errors with every frame decoded —
+    which fails loudly if any of the three mappings is off by even one
+    column."""
+    from ldpc_toolbox_tpu.encoder import Encoder, EncoderError
+    from ldpc_toolbox_tpu.systematic import systematic_permutation
+
+    # a small MacKay-Neal code with a singular trailing square
+    conf = MNConfig(nrows=12, ncols=24, wr=6, wc=3)
+    h = None
+    for seed in range(40):
+        cand = conf.run(seed)
+        if cand is None:
+            continue
+        try:
+            Encoder(cand)
+        except EncoderError:
+            h = cand
+            break
+    assert h is not None, "no seed produced a singular trailing square"
+    perm = systematic_permutation(h)
+    assert sorted(perm) == list(range(24))
+
+    stats = []
+    test = BerTestBuilder(
+        h=h,
+        decoder_implementation="Phif32",
+        max_frame_errors=1,
+        max_iterations=30,
+        ebn0s_db=[12.0],
+        batch_size=64,
+        max_run_time=5.0,
+        seed=7,
+        reporter=lambda s, final: stats.append(s) if final else None,
+        systematic_permutation=perm,
+    ).build()
+    test.run()
+    assert stats and stats[0].ldpc.frame_errors == 0
+    assert stats[0].ldpc.bit_errors == 0
+    assert stats[0].num_frames >= 64
