@@ -342,8 +342,10 @@ def _resolve_ber_code(spec: str):
 
 
 def _systematic_perm_if_needed(h):
-    """(perm, encoder_h) when H cannot build a direct systematic
-    encoder, (None, None) otherwise.
+    """(perm, encoder_h, encoder) — (None, None, Encoder) when H builds
+    a direct systematic encoder (the probe Encoder is returned so BerTest
+    does not repeat the dense GF(2) Gauss reduction), (perm, h_enc, None)
+    otherwise.
 
     C2's trailing square submatrix is singular — and its H is even
     rank-deficient (1022 rows, rank 1020: the (8176, 7156) code, where
@@ -361,8 +363,7 @@ def _systematic_perm_if_needed(h):
     )
 
     try:
-        Encoder(h)
-        return None, None
+        return None, None, Encoder(h)
     except EncoderError:
         pass
     h_enc = full_rank_rows(h)
@@ -370,7 +371,7 @@ def _systematic_perm_if_needed(h):
         perm = systematic_permutation(h_enc)
     except SystematicError as e:
         _die(str(e))
-    return perm, (None if h_enc is h else h_enc)
+    return perm, (None if h_enc is h else h_enc), None
 
 
 def run_selftest(args) -> None:
@@ -404,7 +405,7 @@ def run_ber(args) -> None:
         _die(f"invalid code spec {args.alist!r}: {e!r}")
     if args.no_lifted:
         lifted = None
-    sys_perm, enc_h = _systematic_perm_if_needed(h)
+    sys_perm, enc_h, prebuilt_enc = _systematic_perm_if_needed(h)
     num_ebn0s = int((args.max_ebn0 - args.min_ebn0) / args.step_ebn0) + 1
     ebn0s = [args.min_ebn0 + i * args.step_ebn0 for i in range(num_ebn0s)]
 
@@ -469,6 +470,7 @@ def run_ber(args) -> None:
         profile_dir=args.profile_dir,
         systematic_permutation=sys_perm,
         encoder_h=enc_h,
+        prebuilt_encoder=prebuilt_enc,
     )
     try:
         test = test.build()

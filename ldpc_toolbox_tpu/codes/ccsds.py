@@ -1,7 +1,8 @@
 """CCSDS TM Synchronization and Channel Coding LDPC codes.
 
 AR4JA protograph codes (rates 1/2, 2/3, 4/5 at k = 1024/4096/16384) and the
-C2 (8176, 7154) code, per CCSDS 131.0-B-5. Capability parity with the
+C2 code (nominally (8176, 7154); its 1022-row H has rank 1020, so the
+true dimension is 7156 — ccsds.rs:340), per CCSDS 131.0-B-5. Capability parity with the
 reference's ``src/codes/ccsds.rs`` (H layout ccsds.rs:51-144, permutation
 pi ccsds.rs:176-188, C2 circulant grid ccsds.rs:353-372). The THETA/PHI and
 circulant constants (Tables 7-3/7-4/7-1 of the standard) load from
@@ -141,8 +142,9 @@ class AR4JACode:
 
 
 class C2Code:
-    """Basic C2 (8176, 7154) LDPC code: a 2x16 grid of 511x511 weight-2
-    circulants (ccsds.rs:344-372; Table 7-1 of CCSDS 131.0-B-5)."""
+    """Basic C2 LDPC code — nominally (8176, 7154), truly (8176, 7156)
+    (H rank 1020) — a 2x16 grid of 511x511 weight-2 circulants
+    (ccsds.rs:344-372; Table 7-1 of CCSDS 131.0-B-5)."""
 
     N = 511
     ROW_BLOCKS = 2

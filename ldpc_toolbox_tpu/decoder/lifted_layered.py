@@ -219,21 +219,28 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
     from ..ops.fused_layered import fused_layered_iteration
     from ..ops.resident_layered import (
         resident_layered_decode,
-        resident_layered_supported,
+        resident_pick_bt,
     )
 
     Z = lg.Z
     B_user = llrs.shape[0]
-    if B_user % BT:
-        pad = BT - B_user % BT
+    layout = build_fused_layout(lg)
+    store = rule.storage_dtype
+    qv_store = rule.qv_dtype(arithmetic)
+
+    # resident path: widest batch tile whose state fits VMEM (small codes
+    # take 256-512-wide tiles); streaming path: the standard BT
+    bt = resident_pick_bt(layout, rule, qv_store, B_user)
+    if resident is None:
+        resident = bt > 0
+    tile_w = bt if (resident and bt) else BT
+    if B_user % tile_w:
+        pad = tile_w - B_user % tile_w
         llrs = jnp.concatenate(
             [llrs, jnp.full((pad, llrs.shape[1]), 100.0, llrs.dtype)]
         )
     B = llrs.shape[0]
-    nbt = B // BT
-    layout = build_fused_layout(lg)
-    store = rule.storage_dtype
-    qv_store = rule.qv_dtype(arithmetic)
+    nbt = B // tile_w
 
     llr_planes, col_of = _planes_of(lg, llrs, jnp.float32)
     q = arithmetic.quantize(llr_planes)
@@ -243,7 +250,7 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
 
     def tile(x):  # (P, Z, B) -> (nbt, P, Zp, Bt)
         P = x.shape[0]
-        x = x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+        x = x.reshape(P, Z, nbt, tile_w).transpose(2, 0, 1, 3)
         if lane_pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, lane_pad), (0, 0)))
         return x
@@ -257,8 +264,6 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
     qv0_t = tile(qv0)
     bits0 = tile((llr_planes <= 0).astype(jnp.int8))
 
-    if resident is None:
-        resident = resident_layered_supported(layout, rule, qv_store)
     if resident:
         bits, iters_t, conv_t = resident_layered_decode(
             qv0_t, bits0, layout, rule, max_iterations

@@ -61,7 +61,7 @@ def _workload(batch: int):
 
 
 def _workload_c2(batch: int):
-    """CCSDS C2 (8176, 7154), all-zero codeword at its waterfall: the
+    """CCSDS C2 (8176, 7156), all-zero codeword at its waterfall: the
     only standards lift with Z % 8 != 0 (Z=511), covering the padded
     mod-Z roll decomposition on-device."""
     import numpy as np

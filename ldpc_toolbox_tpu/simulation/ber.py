@@ -128,6 +128,10 @@ class BerTestParameters:
     # the decoder keeps h's redundant checks. CCSDS C2's 1022-row H has
     # rank 1020 — the (8176, 7156) code of the CCSDS docs.
     encoder_h: Optional[SparseMatrix] = None
+    # an Encoder already built for encoder_h (or h): skips the second
+    # dense GF(2) Gauss reduction when the caller probed encodability
+    # (cli._systematic_perm_if_needed)
+    prebuilt_encoder: Optional[object] = None
 
 
 @dataclass
@@ -217,7 +221,11 @@ class BerTest:
             # message bits live at these original-order positions
             self._msg_cols = jnp.asarray(perm[: self.k])
         else:
-            self.encoder = Encoder(enc_h)
+            self.encoder = (
+                p.prebuilt_encoder
+                if p.prebuilt_encoder is not None
+                else Encoder(enc_h)
+            )
             self._enc_unperm = None
             self._msg_cols = None
         self.schedule, self.arithmetic = make_arithmetic(

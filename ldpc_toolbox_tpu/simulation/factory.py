@@ -58,6 +58,7 @@ class BerTestBuilder:
     profile_dir: Optional[str] = None
     systematic_permutation: Optional[object] = None
     encoder_h: Optional[SparseMatrix] = None
+    prebuilt_encoder: Optional[object] = None
 
     def build(self) -> BerTest:
         params = BerTestParameters(
@@ -81,5 +82,6 @@ class BerTestBuilder:
             profile_dir=self.profile_dir,
             systematic_permutation=self.systematic_permutation,
             encoder_h=self.encoder_h,
+            prebuilt_encoder=self.prebuilt_encoder,
         )
         return BerTest(params, self.modulation.instance())

@@ -197,17 +197,37 @@ def test_compaction_bit_exact_multi_tile(decode):
     )
 
 
-def test_resident_bit_exact_multi_tile():
+@pytest.mark.parametrize(
+    "unroll,bt,decoder",
+    [
+        # static-unrolled sweep+syndrome, multi-tile
+        ("1", "128", "Minsumf32"),
+        # group-looped dynamic path (float: syndrome from Qv signs)
+        pytest.param("0", "128", "Minsumf32", marks=pytest.mark.slow),
+        # dynamic path with the i8 hard-decision buffer (the BG1-i8 shape)
+        pytest.param(
+            "0", "128", "Minstarapproxi8", marks=pytest.mark.slow
+        ),
+        # auto-picked wide batch tile
+        pytest.param("1", "", "Minsumf32", marks=pytest.mark.slow),
+    ],
+)
+def test_resident_bit_exact_multi_tile(monkeypatch, unroll, bt, decoder):
     """The VMEM-resident decode (ops/resident_layered.py) must equal the
     streaming fused kernel and the jnp reference bit-for-bit on a
     multi-tile batch with mixed convergence — including its in-kernel
-    0-iteration exit, per-frame freeze, and per-tile early exit."""
+    0-iteration exit, per-frame freeze, and per-tile early exit — in
+    both code-generation modes (static-unrolled and group-looped
+    dynamic) and at the auto-picked wide batch tile."""
+    monkeypatch.setenv("LDPC_RESIDENT_UNROLL", unroll)
+    if bt:
+        monkeypatch.setenv("LDPC_RESIDENT_BT", bt)
     bg = BaseGraph.BG2
     z = 16
     lg = LiftedGraph.from_sparse(bg.h(z), *nr5g_maps(bg, z))
     n = bg.num_cols * z
     llr = _llrs(n, 256, 1.3, seed=11)
-    _, a = make_arithmetic("Minsumf32")
+    _, a = make_arithmetic(decoder)
 
     o1 = lifted_layered_decode(lg, a, llr, 10)  # jnp reference
     o2 = lifted_layered_decode(lg, a, llr, 10, fused=True, resident=True)

@@ -6,8 +6,9 @@ Usage: python tools/bench_row.py <code> <decoder> [ebn0] [max_iters] [batch]
 Codes: dvbs2:R1_2 (any dvbs2 enum name), 5g:BG1:384, ccsds:R1_2:4096, c2.
 
 Honest axon timing: single-call latency with a fetched output, plus a
-queue-all/fetch-all sustained rate (the runtime completes fetches out of
-order, so every rep's output is fetched).
+chained sustained rate (each rep's input carries a data dependence on
+the previous rep's outputs; one final fetch forces every execution —
+see ARCHITECTURE.md "Measuring on axon").
 """
 
 import json
@@ -99,24 +100,40 @@ def main():
         else lifted_flooding_decode
     )
     fused = jax.default_backend() != "cpu"
-    fn = jax.jit(
-        partial(decode, lg, arith, max_iterations=max_iters, fused=fused)
-    )
+    fn_raw = partial(decode, lg, arith, max_iterations=max_iters,
+                     fused=fused)
+    import jax.numpy as jnp
 
+    # chained sustained protocol (ARCHITECTURE.md "Measuring on axon"):
+    # each rep's input depends on the previous rep's outputs, one final
+    # fetch forces the chain — one tunnel round trip total instead of a
+    # serialized ~20 ms fetch per rep
+    @jax.jit
+    def step(llrs, tok):
+        r = fn_raw(llrs + 0.0 * tok)
+        tok = (
+            jnp.sum(r["iterations"])
+            + jnp.sum(r["codeword"].astype(jnp.int32))
+            + jnp.sum(r["success"])
+        ).astype(jnp.float32)
+        return r, tok
+
+    tok0 = jnp.float32(0.0)
     t0 = time.perf_counter()
-    r = fn(llrs)
+    r, _ = step(llrs, tok0)
     iters = np.asarray(r["iterations"])
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    r = fn(llrs)
+    r, _ = step(llrs, tok0)
     iters = np.asarray(r["iterations"])
     latency = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    outs = [fn(llrs) for _ in range(reps)]
-    for o in outs:
-        np.asarray(o["iterations"])
+    tok = tok0
+    for _ in range(reps):
+        _, tok = step(llrs, tok)
+    float(np.asarray(tok))
     per_rep = (time.perf_counter() - t0) / reps
 
     rule = rule_for(arith)
@@ -145,6 +162,7 @@ def main():
         "mbps_latency": round(1e-6 * k * batch / latency, 1),
         "mbps_sustained": round(1e-6 * k * batch / per_rep, 1),
         "compile_s": round(compile_s, 1),
+        "protocol": "chained",
     }
     OUT.parent.mkdir(exist_ok=True)
     with OUT.open("a") as f:
