@@ -155,6 +155,75 @@ def test_float_fer_parity(lib, mn_code, channel, impl):  # noqa: F811
     assert 0.01 < fer_ref < 0.95, fer_ref
 
 
+# ---------------------------------------------------------------------------
+# Full 44-name parity matrix (VERDICT r3 #4). Classification per name —
+# see PARITY.md for the complete table:
+#   * i8 names: bit-exact frame-for-frame vs the shim
+#   * float names (f64/f32/bf16): per-frame within fold-order tolerance
+#     + FER binomial CI vs the shim
+#   * Normminsum* (no shim entry): bit-exact vs the scalar min-sum
+#     oracle (test_decoder.py ORACLES)
+# Names already strongly covered by the dedicated tests above/below are
+# excluded here; one representative per remaining family stays fast.
+# ---------------------------------------------------------------------------
+
+_COVERED_ELSEWHERE = {
+    # test_i8_fer_bit_exact / test_layered_i8_bit_exact
+    "Minstarapproxi8", "Aminstari8",
+    "Minstarapproxi8JonesPartialHardLimitDeg1Clip", "HLMinstarapproxi8",
+    # test_float_fer_parity / test_layered_float_parity
+    "Phif64", "Minstarapproxf32", "Tanhf64", "Aminstarf64",
+    "Minstarapproxf64", "HLPhif64",
+    # scalar-oracle bit-exact (test_decoder.py ORACLES)
+    "Normminsumf32", "Normminsumbf16", "Minsumf32", "Minsumbf16",
+}
+_FAST_MATRIX = {"Tanhf32", "Aminstarf32", "HLMinsumbf16", "Aminstari8Jones"}
+
+
+def _matrix_names():
+    from ldpc_toolbox_tpu.decoder.factory import DECODER_IMPLEMENTATIONS
+
+    names = [
+        n
+        for n in sorted(DECODER_IMPLEMENTATIONS)
+        if n not in _COVERED_ELSEWHERE and "Normminsum" not in n
+    ]
+    return [
+        n if n in _FAST_MATRIX else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("impl", _matrix_names())
+def test_parity_matrix(lib, mn_code, channel, impl):  # noqa: F811
+    """Every remaining reference factory name vs the scalar shim on the
+    shared channel fixture: i8 bit-exact, float within the fold-order
+    tolerance + FER CI (reference names: factory.rs:240-277)."""
+    llrs, _ = channel
+    s_ref, cw_ref = _scalar_decode_all(lib, mn_code, impl, llrs)
+    s_jax, cw_jax = _jax_decode_all(mn_code, impl, llrs)
+    fer_ref = 1 - s_ref.mean()
+    assert 0.001 < fer_ref < 0.95, fer_ref
+    if "i8" in impl:
+        np.testing.assert_array_equal(s_ref, s_jax)
+        np.testing.assert_array_equal(cw_ref, cw_jax)
+        return
+    # float: batched fold order differs from scalar fold order (and bf16
+    # names store messages in bf16 while the shim computes f32)
+    tol_frames = max(3, 0.02 * N_FRAMES)
+    if "bf16" in impl:
+        tol_frames = max(8, 0.04 * N_FRAMES)
+    disagree = int(np.sum(s_ref != s_jax))
+    assert disagree <= tol_frames, (
+        impl, disagree, float(fer_ref), float(1 - s_jax.mean()),
+    )
+    fer_jax = 1 - s_jax.mean()
+    ci = 3 * np.sqrt(max(fer_ref * (1 - fer_ref), 1e-4) / N_FRAMES)
+    assert abs(fer_jax - fer_ref) <= ci + 2 / N_FRAMES, (
+        impl, fer_ref, fer_jax,
+    )
+
+
 def test_layered_i8_bit_exact(lib, mn_code, channel):  # noqa: F811
     """The generic layered schedule is serial-equivalent to the
     reference's 0..m row sweep (decoder/layout.py extract_layers, commit

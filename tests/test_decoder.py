@@ -293,20 +293,21 @@ def oracle_flooding(h, llrs, max_iter, arith):
 
     if check(llrs, lambda x: x <= 0):
         return np.array([x <= 0 for x in llrs], np.uint8), 0, True
+    sr = getattr(arith, "store_round", lambda x: x)
     q = [arith.quantize(x) for x in llrs]
-    v2c = {(c, v): q[v] for v in range(n) for c in cols[v]}
+    v2c = {(c, v): sr(q[v]) for v in range(n) for c in cols[v]}
     out_llr = list(q)
     for it in range(1, max_iter + 1):
         c2v = {}
         for c, row in enumerate(rows):
             outs = arith.check_messages([v2c[(c, v)] for v in row])
             for v, val in zip(row, outs):
-                c2v[(c, v)] = val
+                c2v[(c, v)] = sr(val)
         for v in range(n):
             llr, outs = arith.var_messages(q[v], [c2v[(c, v)] for c in cols[v]])
             out_llr[v] = llr
             for c, val in zip(cols[v], outs):
-                v2c[(c, v)] = val
+                v2c[(c, v)] = sr(val)
         if check(out_llr, arith.hard):
             return (
                 np.array([arith.hard(x) for x in out_llr], np.uint8),
@@ -316,8 +317,55 @@ def oracle_flooding(h, llrs, max_iter, arith):
     return np.array([arith.hard(x) for x in out_llr], np.uint8), max_iter, False
 
 
+class OracleMinSum(OraclePhi):
+    """Scalar (normalized) min-sum in float32, with optional bfloat16
+    message-storage rounding — the framework's Minsum*/Normminsum*
+    extensions (factory.py:74-81). Storage rounding applies wherever the
+    batched path casts to storage_dtype (flooding.py:95-145): the initial
+    v2c copy of the quantized LLRs and both message directions."""
+
+    def __init__(self, scale=1.0, bf16=False):
+        self.scale = np.float32(scale)
+        self.bf16 = bf16
+
+    def quantize(self, llr):
+        return np.float32(llr)
+
+    def store_round(self, x):
+        if not self.bf16:
+            return np.float32(x)
+        import ml_dtypes
+
+        return np.float32(np.asarray(x, ml_dtypes.bfloat16))
+
+    def check_messages(self, msgs):
+        mags = [abs(np.float32(x)) for x in msgs]
+        order = sorted(range(len(msgs)), key=lambda i: (mags[i], i))
+        m1, m2 = mags[order[0]], mags[order[1]]
+        par = 0
+        for x in msgs:
+            if x < 0:
+                par ^= 1
+        out = []
+        for i, x in enumerate(msgs):
+            loo = np.float32((m2 if i == order[0] else m1) * self.scale)
+            neg = par ^ (1 if x < 0 else 0)
+            out.append(np.float32(-loo) if neg else loo)
+        return out
+
+    def var_messages(self, input_llr, msgs):
+        llr = np.float32(input_llr)
+        for m in msgs:
+            llr = np.float32(llr + np.float32(m))
+        return llr, [np.float32(llr - m) for m in msgs]
+
+
 ORACLES = {
     "Phif64": OraclePhi(),
+    "Minsumf32": OracleMinSum(),
+    "Minsumbf16": OracleMinSum(bf16=True),
+    "Normminsumf32": OracleMinSum(scale=0.75),
+    "Normminsumbf16": OracleMinSum(scale=0.75, bf16=True),
     "Minstarapproxf64": OracleMinstarApprox(),
     "Aminstarf64": OracleAminstar(),
     "Minstarapproxi8": OracleMinstarI8(),
@@ -365,6 +413,7 @@ def oracle_layered(h, llrs, max_iter, arith, layers, is_int8):
 
     if check(llrs, lambda x: x <= 0):
         return np.array([x <= 0 for x in llrs], np.uint8), 0, True
+    sr = getattr(arith, "store_round", lambda x: x)
     qv = [arith.quantize(x) for x in llrs]
     rcv = {(c, v): 0 for c, row in enumerate(rows) for v in row}
 
@@ -380,8 +429,10 @@ def oracle_layered(h, llrs, max_iter, arith, layers, is_int8):
                 x = [qv[v] - rcv[(c, v)] for v in row]
             rnew = arith.check_messages(x)
             for v, rv in zip(row, rnew):
+                # Qv deltas use the unstored Rnew; Rcv is re-read next
+                # iteration in storage precision (lifted_layered.py)
                 qv[v] += rv - rcv[(c, v)]
-                rcv[(c, v)] = rv
+                rcv[(c, v)] = sr(rv)
         if check(qv, out_hard):
             return np.array([out_hard(x) for x in qv], np.uint8), it, True
     return np.array([out_hard(x) for x in qv], np.uint8), max_iter, False
@@ -405,6 +456,33 @@ def test_layered_matches_scalar_oracle_i8(impl):
     for i in range(llrs.shape[0]):
         cw, iters, success = oracle_layered(
             h, llrs[i], max_iter, oracle, layers, is_int8=True
+        )
+        assert int(out["iterations"][i]) == iters, (impl, i)
+        assert bool(out["success"][i]) == success, (impl, i)
+        np.testing.assert_array_equal(np.asarray(out["codeword"][i]), cw)
+
+
+@pytest.mark.parametrize(
+    "impl", ["HLMinsumbf16", "HLNormminsumf32", "HLNormminsumbf16"]
+)
+def test_layered_matches_scalar_oracle_minsum(impl):
+    """Layered min-sum extensions (incl. bf16 message storage and the
+    0.75-normalized variants) vs the scalar layered oracle in row order —
+    bit-exact, covering the HL(Norm)minsum* names the C++ shim lacks."""
+    rng = np.random.default_rng(999)
+    h = MNConfig(nrows=12, ncols=24, wr=6, wc=3).run(1)
+    dec = Decoder(h, impl)
+    oracle = ORACLES[impl[2:]]
+    n = h.num_cols
+    max_iter = 20
+    bits = rng.integers(0, 2, size=(6, n))
+    noise = rng.normal(0, 0.9, size=(6, n))
+    llrs = np.where(bits == 0, 1.0, -1.0) * 2.2 + noise
+    out = dec.decode_batch(llrs, max_iter)
+    layers = dec.graph.layers
+    for i in range(llrs.shape[0]):
+        cw, iters, success = oracle_layered(
+            h, llrs[i], max_iter, oracle, layers, is_int8=False
         )
         assert int(out["iterations"][i]) == iters, (impl, i)
         assert bool(out["success"][i]) == success, (impl, i)
