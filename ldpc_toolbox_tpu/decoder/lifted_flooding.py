@@ -52,6 +52,7 @@ def lifted_flooding_decode(
     max_iterations: int,
     fused: bool = False,
     compact: bool = False,
+    resident: bool | None = None,
 ):
     """Decode a (B, n) batch of channel LLRs on a lifted graph.
 
@@ -77,7 +78,8 @@ def lifted_flooding_decode(
         if rule is not None:
             try:
                 return _fused_flooding_decode(
-                    lg, arithmetic, rule, llrs, max_iterations, compact
+                    lg, arithmetic, rule, llrs, max_iterations, compact,
+                    resident,
                 )
             except ValueError as e:
                 # multi-lane circulant gaps / degree caps: unfused fallback.
@@ -238,15 +240,20 @@ def lifted_flooding_decode(
 
 def _fused_flooding_decode(
     lg: LiftedGraph, arithmetic, rule, llrs, max_iterations: int,
-    compact: bool = True,
+    compact: bool = True, resident: bool | None = None,
 ):
-    """Flooding via the v2 fused Pallas phase kernels.
+    """Flooding via the fused Pallas kernels.
 
-    Messages are stored consumer-major and pre-rolled (ops/fused_bp2.py):
-    check reads v2c as contiguous slabs, writes c2v scattered var-major;
-    the variable kernel does the reverse and also emits int8 hard-decision
-    bit planes that feed the VMEM-resident syndrome kernel, so the
-    convergence test costs 1 byte per bit per iteration.
+    ``resident`` (default auto): the whole decode runs inside one kernel
+    with v2c/c2v/channel planes VMEM-resident — zero HBM traffic per
+    iteration, one execution per node group per iteration, per-tile
+    early exit (ops/resident_flooding.py). Auto-selected whenever the
+    state fits the VMEM budget; DVB-S2-size float flooding falls back to
+    the streaming phase kernels (ops/fused_bp2.py): messages stored
+    consumer-major pre-rolled, check reads v2c as contiguous slabs,
+    writes c2v scattered var-major; the variable kernel does the reverse
+    and also emits int8 hard-decision bit planes that feed the
+    VMEM-resident syndrome kernel.
     """
     from ..ops.fused_bp2 import (
         BT,
@@ -255,18 +262,13 @@ def _fused_flooding_decode(
         fused_syndrome_bits,
         fused_var,
     )
+    from ..ops.resident_flooding import (
+        resident_flooding_decode,
+        resident_flooding_pick_bt,
+    )
 
     Z = lg.Z
     B_user = llrs.shape[0]
-    if B_user % BT:
-        # pad with strongly-positive LLRs: the all-zero codeword satisfies
-        # every check at iteration 0, so pad frames converge instantly and
-        # never hold the while_loop open; outputs are sliced back below
-        pad = BT - B_user % BT
-        llrs = jnp.concatenate(
-            [llrs, jnp.full((pad, llrs.shape[1]), 100.0, llrs.dtype)]
-        )
-    B = llrs.shape[0]
     layout = build_fused_layout(lg)
     if (
         layout.max_chk_degree > rule.max_check_degree
@@ -278,7 +280,21 @@ def _fused_flooding_decode(
             "the VMEM unroll cap)"
         )
     store = rule.storage_dtype
-    nbt = B // BT
+    qdtype = store  # channel planes: storage dtype (floats) / int8 (i8)
+    bt = resident_flooding_pick_bt(layout, rule, qdtype, B_user)
+    if resident is None:
+        resident = bt > 0
+    tile_w = bt if (resident and bt) else BT
+    if B_user % tile_w:
+        # pad with strongly-positive LLRs: the all-zero codeword satisfies
+        # every check at iteration 0, so pad frames converge instantly and
+        # never hold the while_loop open; outputs are sliced back below
+        pad = tile_w - B_user % tile_w
+        llrs = jnp.concatenate(
+            [llrs, jnp.full((pad, llrs.shape[1]), 100.0, llrs.dtype)]
+        )
+    B = llrs.shape[0]
+    nbt = B // tile_w
     VG, E = layout.VG, layout.E
 
     col_of = lg.var_cols[lg.var_group_order]  # (VG, Z) original column
@@ -302,7 +318,7 @@ def _fused_flooding_decode(
 
     def tile(x):  # (P, Z, B) -> (nbt, P, Zp, Bt)
         P = x.shape[0]
-        x = x.reshape(P, Z, nbt, BT).transpose(2, 0, 1, 3)
+        x = x.reshape(P, Z, nbt, tile_w).transpose(2, 0, 1, 3)
         if lane_pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, lane_pad), (0, 0)))
         return x
@@ -314,12 +330,27 @@ def _fused_flooding_decode(
         return x.transpose(1, 2, 0, 3).reshape(P, Z, B)
 
     q_tiled = tile(q_planes)
-
-    # flooding init in-kernel: v2c0[e] = roll(q[vg], s) + pokes
-    v2c0_t, _bits_q0 = fused_var(None, q_tiled, layout, rule)
     # iteration-0 convergence tests the *raw* channel hard decisions
     # (flooding.rs:56-64 checks the unquantized input llrs)
     bits0 = tile((llr_planes <= 0).astype(jnp.int8))
+
+    inv0 = np.empty(lg.n, np.int64)
+    inv0[col_of.reshape(-1)] = np.arange(VG * Z)
+
+    if resident:
+        bits, iters_t, conv_t = resident_flooding_decode(
+            q_tiled, bits0, layout, rule, max_iterations
+        )
+        hard = untile(bits)
+        codeword = hard.reshape(VG * Z, B)[jnp.asarray(inv0)]
+        return {
+            "codeword": codeword.T.astype(jnp.uint8)[:B_user],
+            "iterations": iters_t[:, 0, :].reshape(-1)[:B_user],
+            "success": (conv_t[:, 0, :].reshape(-1) != 0)[:B_user],
+        }
+
+    # flooding init in-kernel: v2c0[e] = roll(q[vg], s) + pokes
+    v2c0_t, _bits_q0 = fused_var(None, q_tiled, layout, rule)
 
     def flags_to_ok(flags):  # (nbt, 8, Bt) -> (B,) all checks satisfied
         return flags[:, 0, :].reshape(-1) == 0

@@ -162,9 +162,10 @@ def test_layered_converges_faster_than_flooding():
 @pytest.mark.parametrize(
     "decode",
     [
-        # pin resident=False: compaction applies to the streaming kernel
+        # pin resident=False: compaction applies to the streaming kernels
+        # (the resident kernels have per-tile early exit instead)
         functools.partial(lifted_layered_decode, resident=False),
-        lifted_flooding_decode,
+        functools.partial(lifted_flooding_decode, resident=False),
     ],
 )
 def test_compaction_bit_exact_multi_tile(decode):
@@ -240,6 +241,29 @@ def test_resident_bit_exact_multi_tile(monkeypatch, unroll, bt, decoder):
     np.testing.assert_array_equal(
         np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
     )
+
+
+@pytest.mark.slow
+def test_flooding_unaligned_z_resident_matches_streaming():
+    """C2's Z=511 lift through the resident flooding kernel (padded
+    planes + two-roll mod-Z rotation) must match the streaming fused
+    flooding kernels bit-exactly."""
+    from ldpc_toolbox_tpu.codes.ccsds import C2Code
+
+    lg = lifted_graph_for(C2Code())
+    llr = _llrs(8176, 128, 0.45, seed=5)
+    _, a = make_arithmetic("Minsumf32")
+    o1 = lifted_flooding_decode(lg, a, llr, 6, fused=True, resident=False)
+    o2 = lifted_flooding_decode(lg, a, llr, 6, fused=True, resident=True)
+    s1 = np.asarray(o1["success"])
+    np.testing.assert_array_equal(s1, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+    assert s1.sum() >= 100
 
 
 @pytest.mark.slow
