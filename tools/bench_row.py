@@ -65,7 +65,9 @@ def build(spec: str):
 
         code = C2Code()
         h = code.h()
-        return lifted_graph_for(code), h.num_cols, h.num_cols - h.num_rows
+        # H has two redundant rows: the true dimension is 7156, not
+        # n - num_rows (codes/ccsds.py C2Code)
+        return lifted_graph_for(code), h.num_cols, 7156
     raise SystemExit(f"unknown code spec {spec}")
 
 
@@ -85,7 +87,6 @@ def main():
     ebn0_db = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
     max_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 30
     batch = int(sys.argv[5]) if len(sys.argv) > 5 else 512
-    reps = 8
 
     lg, n, k = build(spec)
     rate = k / n
@@ -129,6 +130,9 @@ def main():
     iters = np.asarray(r["iterations"])
     latency = time.perf_counter() - t0
 
+    # chain long enough that the one-time end-of-chain fetch round trip
+    # (~20 ms) is <3% of the total — short chains understate small codes
+    reps = max(8, int(0.8 / max(latency, 1e-3)) + 1)
     t0 = time.perf_counter()
     tok = tok0
     for _ in range(reps):
@@ -137,14 +141,21 @@ def main():
     per_rep = (time.perf_counter() - t0) / reps
 
     rule = rule_for(arith)
-    resident = bool(
-        fused
-        and schedule == "layered"
-        and rule is not None
-        and resident_layered_supported(
-            build_fused_layout(lg), rule, rule.qv_dtype(arith)
-        )
-    )
+    resident = False
+    if fused and rule is not None:
+        layout = build_fused_layout(lg)
+        if schedule == "layered":
+            resident = resident_layered_supported(
+                layout, rule, rule.qv_dtype(arith)
+            )
+        else:
+            from ldpc_toolbox_tpu.ops.resident_flooding import (
+                resident_flooding_supported,
+            )
+
+            resident = resident_flooding_supported(
+                layout, rule, rule.storage_dtype
+            )
     row = {
         "code": spec,
         "n": n,
