@@ -29,6 +29,8 @@ from ldpc_toolbox_tpu.cli import _enable_compile_cache
 
 _enable_compile_cache()
 
+import os
+
 BATCH = 1024
 #: (ebn0_db, chunks): frames = chunks * BATCH, escalating into the floor
 POINTS = [(1.4, 8), (1.5, 16), (1.6, 32), (1.7, 64), (1.8, 128)]
@@ -37,6 +39,18 @@ CONFIGS = [
     ("Minsumbf16", 30),
     ("HLMinsumbf16", 30),  # reference point: the layered ceiling
 ]
+# overrides: LDPC_EQ_CONFIGS="HLMinsumbf16:18,HLMinsumbf16:20"
+#            LDPC_EQ_POINTS="1.5:16,1.6:32,1.7:64"
+if os.environ.get("LDPC_EQ_CONFIGS"):
+    CONFIGS = [
+        (s.split(":")[0], int(s.split(":")[1]))
+        for s in os.environ["LDPC_EQ_CONFIGS"].split(",")
+    ]
+if os.environ.get("LDPC_EQ_POINTS"):
+    POINTS = [
+        (float(s.split(":")[0]), int(s.split(":")[1]))
+        for s in os.environ["LDPC_EQ_POINTS"].split(",")
+    ]
 
 
 def main():
