@@ -11,8 +11,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from .sparse import Node, SparseMatrix
-from .utils.rng import Rng, compare_none_as_inf, sort_by_random_min
+from .utils.rng import Rng
 
 __all__ = ["Config", "PegError"]
 
@@ -37,21 +39,19 @@ class Config:
 
 
 def _insert_edge(h: SparseMatrix, col: int, rng) -> None:
-    row_dist = h.bfs(Node.col(col)).row_nodes_distance
-    candidates = [
-        (j, d, h.row_weight(j)) for j, d in enumerate(row_dist)
-    ]
-
-    # Order: unreachable (None) first, then decreasing distance, then
-    # increasing degree — matching compare_some(...).reverse() then weight
-    # (peg.rs:102-105). compare_none_as_inf sorts None last under <, so the
-    # reversed distance order sorts None (infinite distance) first.
-    def key(jdw):
-        _, d, w = jdw
-        t, v = compare_none_as_inf(d)
-        return (-t, -v, w)
-
-    sel = sort_by_random_min(candidates, key, rng)
-    if sel is None:
+    # Candidate order: unreachable (None distance) first, then decreasing
+    # distance, then increasing degree — matching compare_some(...).reverse()
+    # then weight (peg.rs:102-105) — with a uniformly random pick among the
+    # minimal candidates (util.rs:57-73).  Vectorized over the BFS distance
+    # array; the single random_range call consumes the identical ChaCha8
+    # stream as the tuple-based sort_by_random_min it replaces.
+    if h.num_rows == 0:
         raise PegError("not enough rows available")
-    h.insert(sel[0], col)
+    dist_r, _ = h.bfs_arrays(Node.col(col))
+    w = h.row_weights_array()
+    unreach = dist_r < 0
+    pool = unreach if unreach.any() else dist_r == dist_r.max()
+    wmin = w[pool].min()
+    cands = np.flatnonzero(pool & (w == wmin))
+    sel = int(cands[rng.random_range(int(cands.size))])
+    h.insert(sel, col)

@@ -59,12 +59,57 @@ class SparseMatrix:
     accelerates membership tests.
     """
 
-    __slots__ = ("_rows", "_cols", "_entries")
+    __slots__ = (
+        "_rows", "_cols", "_entries",
+        "_radj", "_rdeg", "_cadj", "_cdeg",
+    )
 
     def __init__(self, nrows: int, ncols: int):
         self._rows: list[list[int]] = [[] for _ in range(nrows)]
         self._cols: list[list[int]] = [[] for _ in range(ncols)]
         self._entries: set[tuple[int, int]] = set()
+        # numpy adjacency mirrors (padded with -1, order-free) kept in sync
+        # incrementally by insert/remove; they back the vectorized BFS and
+        # girth paths, which replace the reference's pointer-chasing BFS
+        # (bfs.rs:53-109) with level-synchronous frontier expansion.
+        self._radj = np.full((nrows, 4), -1, np.int32)
+        self._rdeg = np.zeros(nrows, np.int32)
+        self._cadj = np.full((ncols, 4), -1, np.int32)
+        self._cdeg = np.zeros(ncols, np.int32)
+
+    # -- numpy mirror bookkeeping -----------------------------------------
+
+    @staticmethod
+    def _grow(adj: np.ndarray) -> np.ndarray:
+        new = np.full((adj.shape[0], max(4, 2 * adj.shape[1])), -1, np.int32)
+        new[:, : adj.shape[1]] = adj
+        return new
+
+    def _mirror_add(self, row: int, col: int) -> None:
+        rd = int(self._rdeg[row])
+        if rd == self._radj.shape[1]:
+            self._radj = self._grow(self._radj)
+        self._radj[row, rd] = col
+        self._rdeg[row] = rd + 1
+        cd = int(self._cdeg[col])
+        if cd == self._cadj.shape[1]:
+            self._cadj = self._grow(self._cadj)
+        self._cadj[col, cd] = row
+        self._cdeg[col] = cd + 1
+
+    def _mirror_del(self, row: int, col: int) -> None:
+        rd = int(self._rdeg[row]) - 1
+        sl = self._radj[row]
+        i = int(np.nonzero(sl[: rd + 1] == col)[0][0])
+        sl[i] = sl[rd]
+        sl[rd] = -1
+        self._rdeg[row] = rd
+        cd = int(self._cdeg[col]) - 1
+        sl = self._cadj[col]
+        i = int(np.nonzero(sl[: cd + 1] == row)[0][0])
+        sl[i] = sl[cd]
+        sl[cd] = -1
+        self._cdeg[col] = cd
 
     # -- shape / weights ---------------------------------------------------
 
@@ -92,12 +137,14 @@ class SparseMatrix:
             self._rows[row].append(col)
             self._cols[col].append(row)
             self._entries.add((row, col))
+            self._mirror_add(row, col)
 
     def remove(self, row: int, col: int) -> None:
         if (row, col) in self._entries:
             self._rows[row].remove(col)
             self._cols[col].remove(row)
             self._entries.discard((row, col))
+            self._mirror_del(row, col)
 
     def toggle(self, row: int, col: int) -> None:
         if (row, col) in self._entries:
@@ -117,12 +164,14 @@ class SparseMatrix:
         for col in self._rows[row]:
             self._cols[col].remove(row)
             self._entries.discard((row, col))
+            self._mirror_del(row, col)
         self._rows[row].clear()
 
     def clear_col(self, col: int) -> None:
         for row in self._cols[col]:
             self._rows[row].remove(col)
             self._entries.discard((row, col))
+            self._mirror_del(row, col)
         self._cols[col].clear()
 
     def set_row(self, row: int, cols: Iterable[int]) -> None:
@@ -275,8 +324,62 @@ class SparseMatrix:
             for r in self._cols[node.index]:
                 yield Node("row", r)
 
+    def bfs_arrays(self, node: Node) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized BFS distances from ``node``: ``(row_dist, col_dist)``
+        int64 arrays with ``-1`` for unreachable nodes.
+
+        Level-synchronous frontier expansion over the numpy adjacency
+        mirrors.  Parent exclusion (bfs.rs:14-27) cannot change first-visit
+        distances — the parent is always already visited — so this equals
+        the reference BFS (bfs.rs:81-93) on every graph.
+        """
+        dist_r = np.full(self.num_rows, -1, np.int64)
+        dist_c = np.full(self.num_cols, -1, np.int64)
+        if node.kind == "col":
+            dist_c[node.index] = 0
+            frontier = np.array([node.index], np.int64)
+            side = 1
+        else:
+            dist_r[node.index] = 0
+            frontier = np.array([node.index], np.int64)
+            side = 0
+        level = 0
+        while frontier.size:
+            level += 1
+            if side == 1:  # cols -> rows
+                nb = self._cadj[frontier]
+                cand = nb[nb >= 0]
+                new = cand[dist_r[cand] < 0]
+                if new.size == 0:
+                    break
+                dist_r[new] = level
+                frontier = np.flatnonzero(dist_r == level)
+                side = 0
+            else:  # rows -> cols
+                nb = self._radj[frontier]
+                cand = nb[nb >= 0]
+                new = cand[dist_c[cand] < 0]
+                if new.size == 0:
+                    break
+                dist_c[new] = level
+                frontier = np.flatnonzero(dist_c == level)
+                side = 1
+        return dist_r, dist_c
+
+    def row_weights_array(self) -> np.ndarray:
+        """Per-row weights as an int32 view (mirror-backed, O(1))."""
+        return self._rdeg
+
     def bfs(self, node: Node) -> BFSResults:
         """Breadth-first distances from `node` with parent exclusion."""
+        dist_r, dist_c = self.bfs_arrays(node)
+        return BFSResults(
+            row_nodes_distance=[None if d < 0 else d for d in dist_r.tolist()],
+            col_nodes_distance=[None if d < 0 else d for d in dist_c.tolist()],
+        )
+
+    def _bfs_deque(self, node: Node) -> BFSResults:
+        """Reference-shaped deque BFS (kept for cross-validation tests)."""
         results = BFSResults(
             row_nodes_distance=[None] * self.num_rows,
             col_nodes_distance=[None] * self.num_cols,
@@ -305,8 +408,79 @@ class SparseMatrix:
         return results
 
     def _local_girth(self, node: Node, max_girth: int) -> int | None:
-        """Length of the shortest cycle through `node`, or None if none
-        exists with length <= max_girth (bfs.rs:92-108)."""
+        """Length of the shortest cycle through ``node`` (as the reference's
+        first-revisit rule reports it), or None when no cycle of length
+        <= max_girth passes through it (bfs.rs:92-108).
+
+        Vectorized level-synchronous form.  Equivalence with the serial
+        FIFO version: on a simple bipartite graph, the first revisit the
+        serial BFS encounters is always a "down" edge into a node already
+        discovered at the next level during the same level's processing
+        (an "up" revisit u->v with v at level q-1 is impossible, because
+        whichever level-(q-1) node reached u first became its parent and
+        every later one triggered the revisit at level q-1 already), and
+        every such revisit found while processing level q has the same
+        total 2q+2.  So detecting, per expansion, (a) edges into visited
+        non-parent nodes and (b) nodes discovered by more than one edge,
+        and returning the minimum total at the first level where any
+        occurs, reproduces the serial result exactly (cross-validated
+        against the deque implementation in tests/test_sparse.py).
+        """
+        dist_r = np.full(self.num_rows, -1, np.int64)
+        dist_c = np.full(self.num_cols, -1, np.int64)
+        par_r = np.full(self.num_rows, -1, np.int64)
+        par_c = np.full(self.num_cols, -1, np.int64)
+        if node.kind == "col":
+            dist_c[node.index] = 0
+            frontier = np.array([node.index], np.int64)
+            side = 1
+        else:
+            dist_r[node.index] = 0
+            frontier = np.array([node.index], np.int64)
+            side = 0
+        q = 0
+        while frontier.size and (q == 0 or q < max_girth):
+            if side == 1:
+                nb = self._cadj[frontier]
+                dist_o, par_here, par_o = dist_r, par_c, par_r
+                n_other = self.num_rows
+            else:
+                nb = self._radj[frontier]
+                dist_o, par_here, par_o = dist_c, par_r, par_c
+                n_other = self.num_cols
+            valid = nb >= 0
+            if not valid.any():
+                break
+            u = np.broadcast_to(frontier[:, None], nb.shape)[valid]
+            v = nb[valid].astype(np.int64)
+            nonparent = v != par_here[u]
+            u = u[nonparent]
+            v = v[nonparent]
+            if v.size == 0:
+                break
+            dv = dist_o[v]
+            visited = dv >= 0
+            totals = []
+            if visited.any():
+                totals.append(int((dv[visited] + q + 1).min()))
+            newv = v[~visited]
+            newu = u[~visited]
+            counts = np.bincount(newv, minlength=n_other)
+            if (counts[newv] > 1).any():
+                totals.append(2 * q + 2)
+            if totals:
+                total = min(totals)
+                return total if total <= max_girth else None
+            dist_o[newv] = q + 1
+            par_o[newv] = newu
+            frontier = newv
+            side = 1 - side
+            q += 1
+        return None
+
+    def _local_girth_deque(self, node: Node, max_girth: int) -> int | None:
+        """Serial FIFO local girth, shaped like the reference (kept for
+        cross-validation tests of the vectorized form above)."""
         row_dist: list = [None] * self.num_rows
         col_dist: list = [None] * self.num_cols
         if node.kind == "row":

@@ -178,3 +178,84 @@ def test_dense_roundtrip():
     np.testing.assert_array_equal(h.to_dense(), a)
     rows, cols = h.to_edge_arrays()
     assert len(rows) == a.sum()
+
+
+# -- vectorized BFS / local girth vs the serial deque forms ---------------
+
+
+def _random_matrix(rng, nrows, ncols, density):
+    h = SparseMatrix(nrows, ncols)
+    for r in range(nrows):
+        for c in range(ncols):
+            if rng.random() < density:
+                h.insert(r, c)
+    return h
+
+
+def test_bfs_vectorized_matches_deque_random():
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(30):
+        nrows = rng.randrange(1, 20)
+        ncols = rng.randrange(1, 20)
+        h = _random_matrix(rng, nrows, ncols, rng.choice([0.05, 0.15, 0.4]))
+        for _ in range(4):
+            node = (
+                Node.col(rng.randrange(ncols))
+                if rng.random() < 0.5
+                else Node.row(rng.randrange(nrows))
+            )
+            fast = h.bfs(node)
+            slow = h._bfs_deque(node)
+            assert fast.row_nodes_distance == slow.row_nodes_distance
+            assert fast.col_nodes_distance == slow.col_nodes_distance
+
+
+def test_local_girth_vectorized_matches_deque_random():
+    import random
+
+    rng = random.Random(99)
+    for trial in range(60):
+        nrows = rng.randrange(1, 16)
+        ncols = rng.randrange(1, 16)
+        h = _random_matrix(rng, nrows, ncols, rng.choice([0.1, 0.25, 0.5]))
+        for _ in range(6):
+            node = (
+                Node.col(rng.randrange(ncols))
+                if rng.random() < 0.5
+                else Node.row(rng.randrange(nrows))
+            )
+            maxg = rng.choice([0, 2, 3, 4, 6, 8, 100, 2**62])
+            assert h._local_girth(node, maxg) == h._local_girth_deque(
+                node, maxg
+            ), (trial, node, maxg)
+
+
+def test_mirrors_consistent_after_mutation():
+    import random
+
+    rng = random.Random(5)
+    h = _random_matrix(rng, 12, 15, 0.3)
+    for _ in range(200):
+        op = rng.randrange(5)
+        r = rng.randrange(12)
+        c = rng.randrange(15)
+        if op == 0:
+            h.insert(r, c)
+        elif op == 1:
+            h.remove(r, c)
+        elif op == 2:
+            h.toggle(r, c)
+        elif op == 3:
+            h.clear_row(r)
+        else:
+            h.clear_col(c)
+    for r in range(12):
+        mirror = set(h._radj[r, : h._rdeg[r]].tolist())
+        assert mirror == set(h.row_list(r))
+        assert len(mirror) == h.row_weight(r)
+    for c in range(15):
+        mirror = set(h._cadj[c, : h._cdeg[c]].tolist())
+        assert mirror == set(h.col_list(c))
+        assert len(mirror) == h.col_weight(c)
