@@ -476,6 +476,23 @@ def run_ber(args) -> None:
         test = test.build()
     except (ValueError, KeyError) as e:
         _die(str(e))
+    if args.precompile:
+        # compile the jitted sweep step (AOT lower+compile, no frames
+        # run) with exactly the avals test.run() will call it with, so
+        # the persistent compile cache is warm for the real invocation
+        import time as _time
+
+        import jax as _jax
+
+        t0 = _time.perf_counter()
+        test._step.lower(_jax.random.key(args.seed), 0.5).compile()
+        dt = _time.perf_counter() - t0
+        print(
+            f"precompiled {args.alist} {args.decoder} "
+            f"batch={args.batch_size} max_iter={args.max_iter} "
+            f"modulation={args.modulation} in {dt:.1f}s"
+        )
+        return
     try:
         test.run()
     except KeyboardInterrupt:
@@ -492,6 +509,64 @@ def run_ber(args) -> None:
         for f in (out_file, out_file_ldpc):
             if f:
                 f.close()
+
+
+def run_precompile(args) -> None:
+    """Warm-pack the persistent compile cache: fan ``ber --precompile``
+    subprocesses over the (codes x decoders) grid.  Compiles run
+    server-side through the remote-compile service, so parallel jobs
+    overlap even on a small host."""
+    import itertools
+    import subprocess
+    import time
+
+    codes = [c for c in args.codes.split(",") if c]
+    decoders = [d for d in args.decoders.split(",") if d]
+    shapes = list(itertools.product(codes, decoders))
+    pending = list(enumerate(shapes))
+    running: list = []
+    failed = []
+    t0 = time.perf_counter()
+    print(
+        f"precompiling {len(shapes)} shapes with {args.jobs} jobs "
+        f"(batch={args.batch_size}, max_iter={args.max_iter})"
+    )
+    while pending or running:
+        while pending and len(running) < max(1, args.jobs):
+            i, (code, dec) = pending.pop(0)
+            cmd = [
+                sys.executable, "-m", "ldpc_toolbox_tpu", "ber", code,
+                "--decoder", dec, "--precompile",
+                "--min-ebn0", "1", "--max-ebn0", "1", "--step-ebn0", "1",
+                "--batch-size", str(args.batch_size),
+                "--max-iter", str(args.max_iter),
+                "--modulation", args.modulation,
+            ]
+            proc = subprocess.Popen(
+                cmd,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            running.append((code, dec, proc, time.perf_counter()))
+        time.sleep(1.0)
+        still = []
+        for code, dec, proc, ts in running:
+            if proc.poll() is None:
+                still.append((code, dec, proc, ts))
+                continue
+            dt = time.perf_counter() - ts
+            out = (proc.stdout.read() or "").strip().splitlines()
+            tail = out[-1] if out else ""
+            if proc.returncode == 0:
+                print(f"  ok   {code} {dec} ({dt:.0f}s) {tail}")
+            else:
+                print(f"  FAIL {code} {dec} ({dt:.0f}s) {tail}")
+                failed.append((code, dec))
+        running = still
+    print(f"done in {time.perf_counter() - t0:.0f}s, {len(failed)} failed")
+    if failed:
+        sys.exit(1)
 
 
 # -- parser ------------------------------------------------------------------
@@ -540,7 +615,33 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--profile-dir", help="jax.profiler trace directory")
     s.add_argument("--no-lifted", action="store_true",
                    help="disable the block-circulant fast path")
+    s.add_argument("--precompile", action="store_true",
+                   help="compile the sweep step into the persistent "
+                   "cache and exit (no frames run)")
     s.set_defaults(func=run_ber)
+
+    s = sub.add_parser(
+        "precompile",
+        help="Warm the persistent compile cache for a set of "
+        "(code, decoder) shapes, optionally in parallel",
+    )
+    s.add_argument(
+        "--codes",
+        default="dvbs2:1/2,dvbs2:1/2:short,5g:1:384,5g:2:384,"
+        "ccsds:1/2:4096,ccsds-c2",
+        help="comma-separated ber code specs",
+    )
+    s.add_argument(
+        "--decoders",
+        default="Minsumbf16,HLMinsumbf16",
+        help="comma-separated decoder implementation names",
+    )
+    s.add_argument("--batch-size", type=int, default=128)
+    s.add_argument("--max-iter", type=int, default=100)
+    s.add_argument("--modulation", default="BPSK", choices=["BPSK", "8PSK"])
+    s.add_argument("-j", "--jobs", type=int, default=2,
+                   help="parallel compile processes")
+    s.set_defaults(func=run_precompile)
 
     s = sub.add_parser("ccsds", help="Generates the alist of CCSDS LDPCs")
     s.add_argument("-r", "--rate", required=True)

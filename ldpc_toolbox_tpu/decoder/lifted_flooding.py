@@ -262,6 +262,10 @@ def _fused_flooding_decode(
         fused_syndrome_bits,
         fused_var,
     )
+    from ..ops.resident_compressed import (
+        compressed_flooding_decode,
+        compressed_flooding_pick_bt,
+    )
     from ..ops.resident_flooding import (
         resident_flooding_decode,
         resident_flooding_pick_bt,
@@ -280,8 +284,19 @@ def _fused_flooding_decode(
             "the VMEM unroll cap)"
         )
     store = rule.storage_dtype
-    qdtype = store  # channel planes: storage dtype (floats) / int8 (i8)
+    qdtype = store  # channel planes: storage dtype (floats) / i8 (int8)
+    import os
+
     bt = resident_flooding_pick_bt(layout, rule, qdtype, B_user)
+    compressed = False
+    if bt == 0 or os.environ.get("LDPC_FORCE_COMPRESSED"):
+        # message state exceeds VMEM: min-sum-class rules fall back to
+        # the losslessly compressed check-state kernel before giving up
+        # and streaming (ops/resident_compressed.py)
+        btc = compressed_flooding_pick_bt(layout, rule, qdtype, B_user)
+        if btc:
+            bt = btc
+            compressed = True
     if resident is None:
         resident = bt > 0
     tile_w = bt if (resident and bt) else BT
@@ -338,7 +353,12 @@ def _fused_flooding_decode(
     inv0[col_of.reshape(-1)] = np.arange(VG * Z)
 
     if resident:
-        bits, iters_t, conv_t = resident_flooding_decode(
+        decode = (
+            compressed_flooding_decode
+            if compressed
+            else resident_flooding_decode
+        )
+        bits, iters_t, conv_t = decode(
             q_tiled, bits0, layout, rule, max_iterations
         )
         hard = untile(bits)

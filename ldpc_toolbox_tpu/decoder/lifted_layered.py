@@ -216,7 +216,13 @@ def _jnp_layered_decode(lg, arithmetic, llrs, max_iterations):
 
 def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
                           compact=True, resident=None):
+    import os
+
     from ..ops.fused_layered import fused_layered_iteration
+    from ..ops.resident_compressed import (
+        compressed_layered_decode,
+        compressed_layered_pick_bt,
+    )
     from ..ops.resident_layered import (
         resident_layered_decode,
         resident_pick_bt,
@@ -231,6 +237,14 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
     # resident path: widest batch tile whose state fits VMEM (small codes
     # take 256-512-wide tiles); streaming path: the standard BT
     bt = resident_pick_bt(layout, rule, qv_store, B_user)
+    compressed = False
+    if bt == 0 or os.environ.get("LDPC_FORCE_COMPRESSED"):
+        # Rcv exceeds VMEM (the f32 min-sum families at DVB-S2 size):
+        # fall back to the compressed check-state kernel before streaming
+        btc = compressed_layered_pick_bt(layout, rule, qv_store, B_user)
+        if btc:
+            bt = btc
+            compressed = True
     if resident is None:
         resident = bt > 0
     tile_w = bt if (resident and bt) else BT
@@ -265,7 +279,12 @@ def _fused_layered_decode(lg, arithmetic, rule, llrs, max_iterations,
     bits0 = tile((llr_planes <= 0).astype(jnp.int8))
 
     if resident:
-        bits, iters_t, conv_t = resident_layered_decode(
+        decode = (
+            compressed_layered_decode
+            if compressed
+            else resident_layered_decode
+        )
+        bits, iters_t, conv_t = decode(
             qv0_t, bits0, layout, rule, max_iterations
         )
         iters = iters_t[:, 0, :].reshape(-1)

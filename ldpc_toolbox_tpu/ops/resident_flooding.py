@@ -1,20 +1,40 @@
-"""VMEM-resident flooding BP decode (Pallas TPU).
+"""VMEM-resident flooding BP decode (Pallas TPU), single message array.
 
-The flooding analog of ops/resident_layered.py: both message arrays
-(v2c + c2v), the quantized channel planes, and the posterior hard bits
-of one batch tile stay in VMEM for the whole decode, so HBM sees only
-the initial load and the final store — zero traffic per iteration — and
-a tile whose frames have all converged skips its remaining grid steps
-(per-tile early exit with exact per-frame iteration counts).
+The flooding analog of ops/resident_layered.py: the message state, the
+quantized channel planes, and the posterior hard bits of one batch tile
+stay in VMEM for the whole decode, so HBM sees only the initial load and
+the final store — zero traffic per iteration — and a tile whose frames
+have all converged skips its remaining grid steps (per-tile early exit
+with exact per-frame iteration counts).
 
-This replaces the streaming phase kernels (fused_bp2.fused_check/var)
-wherever the state fits, and fixes their structural inefficiency on
-multi-bucket codes: Mosaic predicates vector code rather than branching,
-so each streaming grid step *executes every degree bucket's check fold*
-and discards all but one — an ~8x tax on 5G BG1's quadratic d=19 i8
-fold (measured 14.6 ms/iter streaming vs ~3.7 for the same fold run
-once per group in the resident layered kernel). Here each group's fold
-runs exactly once per iteration, group-looped (`fori_loop`) or fully
+**One plane array holds both message directions.**  A flooding decoder
+naively needs v2c and c2v arrays (2E planes — 116 MB for DVB-S2 r=1/2
+bf16, which kept float flooding off the resident path through round 4).
+But each v2c plane is consumed by exactly one check group and each c2v
+plane by exactly one variable group, and both rules read all their
+inputs before producing outputs, so the phases can update the SAME
+E-plane array in place:
+
+  * planes are indexed check-major and stored in *check* lane
+    coordinates;
+  * the check phase reads its contiguous slab (v2c), folds, and
+    overwrites the slab with its c2v outputs (no rotation at all);
+  * the variable phase gathers each incident c2v through the
+    check->var rotation, computes the leave-one-out sums, and
+    overwrites each gathered plane with the new v2c rotated back
+    (var->check) — two rotations per edge, the same total as the
+    two-array form.
+
+This halves the resident VMEM state for every arithmetic family; in
+particular DVB-S2 n=64800 bf16 min-sum flooding (E bf16 = 58 MB) — the
+last streaming flooding cell — fits at Bt=128.
+
+It also keeps the fix for the streaming kernels' structural
+inefficiency on multi-bucket codes: Mosaic predicates vector code
+rather than branching, so each streaming grid step *executes every
+degree bucket's check fold* and discards all but one (an ~8x tax on 5G
+BG1's quadratic d=19 i8 fold).  Here each group's fold runs exactly
+once per iteration, group-looped (``fori_loop``) or fully
 static-unrolled per phase under the same program-size planning as the
 layered kernel (static rolls, constant indices/pokes).
 
@@ -24,11 +44,12 @@ the rolled quantized channel planes with big-pokes on missing lanes,
 each iteration runs the full check phase then the full variable phase,
 the syndrome tests the posterior hard decisions, frames freeze at first
 convergence, and the iteration-0 test uses the raw channel hard bits.
+Values are unchanged by the aliasing — only where rotations happen
+moved (rotation is a lane permutation; it commutes with every
+elementwise op here).
 
-VMEM per tile (Bt=128): 2E message planes in storage dtype + VG channel
-planes + VG int8 frozen + VG bf16 posterior bits. DVB-S2 r=1/2 i8:
-~100 MB (fits); its float/bf16 flooding stays on the streaming path
-(2E bf16 alone is 116 MB).
+VMEM per tile (Bt=128): E message planes in storage dtype + VG channel
+planes + VG int8 frozen + VG bf16 posterior bits.
 """
 
 from __future__ import annotations
@@ -55,7 +76,7 @@ __all__ = [
 
 def _vmem_bytes(layout: FusedLayout, rule, qdtype, bt: int) -> int:
     Z = layout.Zp
-    msgs = 2 * layout.E * Z * bt * jnp.dtype(rule.storage_dtype).itemsize
+    msgs = layout.E * Z * bt * jnp.dtype(rule.storage_dtype).itemsize
     q = layout.VG * Z * bt * jnp.dtype(qdtype).itemsize
     frozen = layout.VG * Z * bt
     bits = layout.VG * Z * bt * 2  # bf16 posterior hard bits
@@ -102,11 +123,11 @@ def _plan(layout: FusedLayout, rule):
         v = env not in ("0", "false", "")
         return v, v, v
     check = sum(
-        (m.g1 - m.g0) * (10 * m.d + _rule_check_cost(rule, m.d))
+        (m.g1 - m.g0) * (8 * m.d + _rule_check_cost(rule, m.d))
         for m in layout.chk_meta
     )
     var = sum(
-        (m.g1 - m.g0) * 14 * m.d for m in layout.var_meta
+        (m.g1 - m.g0) * 16 * m.d for m in layout.var_meta
     )
     syn = 6 * layout.E
     return (
@@ -140,9 +161,14 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
     ITERS = int(max_iterations)
     unroll_check, unroll_var, unroll_syn = _plan(layout, rule)
 
+    # var-major per-edge tables: the check-major plane each var-side edge
+    # reads/writes (var_dest), the var->check write rotation (var_rot = s)
+    # and the check->var read rotation (its mod-Z inverse)
+    read_rot = ((layout.Z - layout.var_rot) % layout.Z).astype(np.int32)
+
     chk_bucket_has_mask = tuple(
         bool(
-            (layout.chk_omask[m.ebase : m.ebase + (m.g1 - m.g0) * m.d] >= 0)
+            (layout.syn_mask[m.ebase : m.ebase + (m.g1 - m.g0) * m.d] >= 0)
             .any()
         )
         for m in chk_metas
@@ -154,13 +180,7 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
         )
         for m in var_metas
     )
-    syn_bucket_has_mask = tuple(
-        bool(
-            (layout.syn_mask[m.ebase : m.ebase + (m.g1 - m.g0) * m.d] >= 0)
-            .any()
-        )
-        for m in chk_metas
-    )
+    syn_bucket_has_mask = chk_bucket_has_mask
 
     def _sroll(x, s: int):
         if s == 0:
@@ -172,11 +192,12 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         return jnp.where(lane < s, b, a)
 
-    def kernel(chk_cs_ref, chk_dest_ref, chk_rot_ref, chk_mask_ref,
+    def kernel(chk_cs_ref, chk_mask_ref,
                var_cs_ref, var_dest_ref, var_rot_ref, var_mask_ref,
+               read_rot_ref,
                syn_vg_ref, syn_rot_ref, syn_mask_ref,
                q_in, bits_in, bits_out, iters_out, conv_out,
-               v2c_buf, c2v_buf, q_buf, frozen, bits_buf,
+               msg_buf, q_buf, frozen, bits_buf,
                conv_buf, iters_buf, done_smem, sem):
         bt = pl.program_id(0)
         it = pl.program_id(1)
@@ -278,7 +299,7 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
                             o = poke(
                                 o, big, int(layout.var_omask[e]), True
                             )
-                            v2c_buf[int(layout.var_dest[e])] = (
+                            msg_buf[int(layout.var_dest[e])] = (
                                 o.astype(store)
                             )
             else:
@@ -295,7 +316,7 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
                             o = jnp.where(lane == var_mask_ref[e], big, o)
                             if pad:
                                 o = jnp.where(lane >= layout.Z, big, o)
-                            v2c_buf[var_dest_ref[e]] = o.astype(store)
+                            msg_buf[var_dest_ref[e]] = o.astype(store)
                         return 0
 
                     jax.lax.fori_loop(m.g0, m.g1, initg, 0)
@@ -307,7 +328,8 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
         # ---- one flooding iteration: check phase then var phase ----
         @pl.when((it > 0) & (done_smem[0] == 0))
         def _():
-            # check phase: v2c -> c2v (rolled to var coords, 0-pokes)
+            # check phase: fold each slab in place, v2c -> c2v (check
+            # coords, no rotation; 0-pokes at the check-side missing lane)
             if unroll_check:
                 for m in chk_metas:
                     d = m.d
@@ -316,17 +338,16 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
                     for g in range(m.g0, m.g1):
                         cs = int(layout.chk_cs[g])
                         xs = [
-                            v2c_buf[cs + t].astype(compute)
+                            msg_buf[cs + t].astype(compute)
                             for t in range(d)
                         ]
                         outs = rule.check(xs)
                         for t in range(d):
                             e = m.ebase + (g - m.g0) * d + t
-                            o = _sroll(outs[t], int(layout.chk_rot[e]))
-                            o = poke(o, 0, int(layout.chk_omask[e]), True)
-                            c2v_buf[int(layout.chk_dest[e])] = (
-                                o.astype(store)
+                            o = poke(
+                                outs[t], 0, int(layout.syn_mask[e]), True
                             )
+                            msg_buf[cs + t] = o.astype(store)
             else:
                 for mi, m in enumerate(chk_metas):
                     d = m.d
@@ -337,43 +358,50 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
                             masked=chk_bucket_has_mask[mi]):
                         cs = chk_cs_ref[g]
                         xs = [
-                            v2c_buf[cs + t].astype(compute)
+                            msg_buf[cs + t].astype(compute)
                             for t in range(d)
                         ]
                         outs = rule.check(xs)
                         for t in range(d):
                             e = m.ebase + (g - m.g0) * d + t
-                            o = _roll(outs[t], chk_rot_ref[e], pad)
+                            o = outs[t]
                             if masked or pad:
                                 pk = lane == chk_mask_ref[e]
                                 if pad:
                                     pk |= lane >= layout.Z
                                 o = jnp.where(pk, 0, o)
-                            c2v_buf[chk_dest_ref[e]] = o.astype(store)
+                            msg_buf[cs + t] = o.astype(store)
                         return 0
 
                     jax.lax.fori_loop(m.g0, m.g1, chk, 0)
 
-            # var phase: c2v + q -> v2c (rolled to check coords,
-            # big-pokes) + posterior hard bits
+            # var phase: gather each incident c2v through the check->var
+            # rotation, c2v + q -> v2c (rotated back var->check,
+            # big-pokes) + posterior hard bits; the gathered planes are
+            # overwritten only after all of the group's reads
             if unroll_var:
                 for m in var_metas:
                     d = m.d
                     for g in range(m.g0, m.g1):
-                        cs = int(layout.var_cs[g])
+                        vs = int(layout.var_cs[g])
                         q = q_buf[g].astype(compute)
                         ys = [
-                            c2v_buf[cs + t].astype(compute)
+                            _sroll(
+                                msg_buf[
+                                    int(layout.var_dest[vs + t])
+                                ].astype(compute),
+                                int(read_rot[vs + t]),
+                            )
                             for t in range(d)
                         ]
                         outs, tot = rule.var(q, ys, d)
                         for t in range(d):
-                            e = m.ebase + (g - m.g0) * d + t
-                            o = _sroll(outs[t], int(layout.var_rot[e]))
+                            p = vs + t
+                            o = _sroll(outs[t], int(layout.var_rot[p]))
                             o = poke(
-                                o, big, int(layout.var_omask[e]), True
+                                o, big, int(layout.var_omask[p]), True
                             )
-                            v2c_buf[int(layout.var_dest[e])] = (
+                            msg_buf[int(layout.var_dest[p])] = (
                                 o.astype(store)
                             )
                         bits_buf[g] = (tot <= 0).astype(jnp.bfloat16)
@@ -383,22 +411,28 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
 
                     def var(g, _, m=m, d=d,
                             masked=var_bucket_has_mask[mi]):
-                        cs = var_cs_ref[g]
+                        vs = var_cs_ref[g]
                         q = q_buf[g].astype(compute)
                         ys = [
-                            c2v_buf[cs + t].astype(compute)
+                            _roll(
+                                msg_buf[var_dest_ref[vs + t]].astype(
+                                    compute
+                                ),
+                                read_rot_ref[vs + t],
+                                pad,
+                            )
                             for t in range(d)
                         ]
                         outs, tot = rule.var(q, ys, d)
                         for t in range(d):
-                            e = m.ebase + (g - m.g0) * d + t
-                            o = _roll(outs[t], var_rot_ref[e], pad)
+                            p = vs + t
+                            o = _roll(outs[t], var_rot_ref[p], pad)
                             if masked or pad:
-                                pk = lane == var_mask_ref[e]
+                                pk = lane == var_mask_ref[p]
                                 if pad:
                                     pk |= lane >= layout.Z
                                 o = jnp.where(pk, big, o)
-                            v2c_buf[var_dest_ref[e]] = o.astype(store)
+                            msg_buf[var_dest_ref[p]] = o.astype(store)
                         bits_buf[g] = (tot <= 0).astype(jnp.bfloat16)
                         return 0
 
@@ -455,7 +489,7 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
             cp.wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=10,
         grid=(nbt, ITERS + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -467,7 +501,6 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((E, Z, Bt), store),
             pltpu.VMEM((E, Z, Bt), store),
             pltpu.VMEM((VG, Z, Bt), qdtype),
             pltpu.VMEM((VG, Z, Bt), jnp.int8),
@@ -494,13 +527,12 @@ def resident_flooding_decode(q_t, bits0_t, layout: FusedLayout, rule,
         ),
     )(
         jnp.asarray(layout.chk_cs),
-        jnp.asarray(layout.chk_dest),
-        jnp.asarray(layout.chk_rot),
-        jnp.asarray(layout.chk_omask),
+        jnp.asarray(layout.syn_mask),
         jnp.asarray(layout.var_cs),
         jnp.asarray(layout.var_dest),
         jnp.asarray(layout.var_rot),
         jnp.asarray(layout.var_omask),
+        jnp.asarray(read_rot),
         jnp.asarray(layout.syn_vg),
         jnp.asarray(layout.syn_rot),
         jnp.asarray(layout.syn_mask),

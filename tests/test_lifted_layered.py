@@ -291,3 +291,77 @@ def test_layered_unaligned_z_matches_jnp(resident):
         np.asarray(o1["codeword"])[s1], np.asarray(o2["codeword"])[s1]
     )
     assert s1.sum() >= 120
+
+
+@pytest.mark.parametrize(
+    "decoder",
+    [
+        "Minsumf32",
+        pytest.param("Minsumbf16", marks=pytest.mark.slow),
+        pytest.param("Normminsumbf16", marks=pytest.mark.slow),
+    ],
+)
+def test_compressed_flooding_bit_exact(monkeypatch, decoder):
+    """The compressed-check-state resident flooding kernel
+    (ops/resident_compressed.py) must equal the streaming fused flooding
+    kernels bit-for-bit — success masks, iteration counts, codewords —
+    on a multi-tile batch with mixed convergence (min-sum c2v state is
+    losslessly (signs, min1, min2, argmin))."""
+    from ldpc_toolbox_tpu.ops.resident_compressed import (
+        compressed_flooding_pick_bt,
+        compressed_flooding_supported,
+    )
+
+    bg = BaseGraph.BG2
+    z = 16
+    lg = LiftedGraph.from_sparse(bg.h(z), *nr5g_maps(bg, z))
+    n = bg.num_cols * z
+    llr = _llrs(n, 256, 1.3, seed=11)
+    _, a = make_arithmetic(decoder)
+
+    o1 = lifted_flooding_decode(
+        lg, a, llr, 10, fused=True, resident=False, compact=False
+    )
+    monkeypatch.setenv("LDPC_FORCE_COMPRESSED", "1")
+    o2 = lifted_flooding_decode(lg, a, llr, 10, fused=True, resident=True)
+    s = np.asarray(o1["success"])
+    assert 0 < s.sum() < 256
+    np.testing.assert_array_equal(s, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )
+
+
+def test_flagship_flooding_shape_is_resident():
+    """DVB-S2 r=1/2 n=64800 Minsumbf16 flooding — the one family x
+    schedule cell that streamed through round 4 (2E bf16 = 116 MB) —
+    must be claimed at Bt=128 by BOTH resident forms: the single-array
+    aliased message kernel (E bf16 = 58 MB) and the compressed
+    check-state kernel."""
+    import jax.numpy as jnp
+
+    from ldpc_toolbox_tpu.codes.dvbs2 import Code as DvbCode
+    from ldpc_toolbox_tpu.decoder.lifted import lifted_graph_for
+    from ldpc_toolbox_tpu.ops.fused_bp2 import build_fused_layout, rule_for
+    from ldpc_toolbox_tpu.ops.resident_compressed import (
+        compressed_flooding_pick_bt,
+        compressed_layered_pick_bt,
+    )
+    from ldpc_toolbox_tpu.ops.resident_flooding import (
+        resident_flooding_pick_bt,
+    )
+
+    lg = lifted_graph_for(DvbCode.R1_2)
+    layout = build_fused_layout(lg)
+    _, a = make_arithmetic("Minsumbf16")
+    rule = rule_for(a)
+    assert resident_flooding_pick_bt(layout, rule, jnp.bfloat16, 512) == 128
+    assert compressed_flooding_pick_bt(layout, rule, jnp.bfloat16, 512) == 128
+    # and the f32 layered family (Rcv f32 = 111 MB, streaming through
+    # round 4) is claimed by the compressed layered kernel
+    _, a32 = make_arithmetic("HLMinsumf32")
+    rule32 = rule_for(a32)
+    assert compressed_layered_pick_bt(layout, rule32, jnp.float32, 512) == 128

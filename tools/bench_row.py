@@ -149,6 +149,9 @@ def main():
                 layout, rule, rule.qv_dtype(arith)
             )
         else:
+            from ldpc_toolbox_tpu.ops.resident_compressed import (
+                compressed_flooding_supported,
+            )
             from ldpc_toolbox_tpu.ops.resident_flooding import (
                 resident_flooding_supported,
             )
@@ -156,6 +159,10 @@ def main():
             resident = resident_flooding_supported(
                 layout, rule, rule.storage_dtype
             )
+            if not resident and compressed_flooding_supported(
+                layout, rule, rule.storage_dtype
+            ):
+                resident = "compressed"
     row = {
         "code": spec,
         "n": n,
