@@ -28,15 +28,19 @@ estimate (the numerics are identical):
   ``fori_loop`` over layer groups with prefetched scalar indices and
   dynamic rolls — a compact program at higher per-edge cost.
 
-The syndrome source is instantiated once per kernel: float rules read
-the resident Qv posterior signs directly (``llr_to_var_llr`` is a
-sign-preserving cast for every float family, so the iteration-0 test on
-Qv signs equals the reference's raw-channel hard-decision test except
-for channel LLRs below the storage dtype's smallest normal — physically
-unreachable); i8 rules (whose quantizer maps tiny positive LLRs to 0,
-flipping the <=0 decision) keep an f32 hard-decision plane buffer
-written at init from the raw-channel bits and per iteration from the Qv
-signs.
+The syndrome source depends on the VMEM budget: when a bf16
+hard-decision plane cache (VG planes, refreshed once per iteration
+from the Qv signs, filled from the raw-channel bits at init) fits
+alongside the state, the per-edge fold drops its compare+cast — the
+round-4 syndrome share was 20-22% of the iteration.  i8 rules always
+carry the cache (their quantizer maps tiny positive LLRs to 0, so a
+live Qv-sign test would corrupt the iteration-0 exit); float rules
+take it opportunistically and otherwise read the Qv posterior signs
+live (sign-preserving cast, exact except below the storage dtype's
+smallest normal — the measured flagship tradeoff is recorded in
+RESULTS: the 16.6 MB cache would evict the flagship layered state from
+VMEM entirely, a 537 -> 336 Mbit/s regression, so large codes keep the
+live read).
 
 Semantics are bit-identical to ops/fused_layered.py and the jnp layered
 reference: same bucket-major layer order, same rule fold order, same
@@ -87,10 +91,22 @@ def _vmem_bytes(layout: FusedLayout, rule, qdtype, bt: int) -> int:
     qv = layout.VG * Z * bt * jnp.dtype(qdtype).itemsize
     rcv = layout.E * Z * bt * jnp.dtype(rule.storage_dtype).itemsize
     frozen = layout.VG * Z * bt
-    hard = 0 if _qv_sign_is_hard(rule) else layout.VG * Z * bt * 4
+    # bf16 hard-decision cache: mandatory for i8 (iteration-0 exactness),
+    # opportunistic for float rules (see _use_hard_cache)
+    hard = 0 if _qv_sign_is_hard(rule) else layout.VG * Z * bt * 2
     # stacked per-layer temporaries (x, rold, rnew planes) + syndrome acc
     tmp = (4 * layout.max_chk_degree + 16) * Z * bt * 4
     return qv + rcv + frozen + hard + tmp
+
+
+def _use_hard_cache(layout: FusedLayout, rule, qdtype, bt: int) -> bool:
+    """True when the syndrome reads the bf16 hard-plane cache: always
+    for i8 rules; for float rules only when the extra VG bf16 planes
+    still fit the VMEM budget."""
+    if not _qv_sign_is_hard(rule):
+        return True
+    extra = layout.VG * layout.Zp * bt * 2
+    return _vmem_bytes(layout, rule, qdtype, bt) + extra <= VMEM_BUDGET
 
 
 def resident_layered_supported(
@@ -184,7 +200,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
 
     rot_vc = layout.syn_rot  # +s: var -> check coords
     rot_cv = ((layout.Z - layout.syn_rot) % layout.Z).astype(np.int32)
-    use_hard = not _qv_sign_is_hard(rule)
+    use_hard = _use_hard_cache(layout, rule, qdtype, Bt)
     unroll_sweep, unroll_syn = _unroll_plan(layout, rule)
 
     # static per-bucket "any missing lane" flags: skip the mask pokes for
@@ -220,7 +236,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
         def hard_f32(vg):
             """(Z, Bt) f32 0/1 hard decisions for the syndrome fold."""
             if use_hard:
-                return hard_buf[vg]
+                return hard_buf[vg].astype(jnp.float32)
             return (qv_buf[vg].astype(compute) <= 0).astype(jnp.float32)
 
         def hard_i8(vg):
@@ -295,7 +311,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
             jax.lax.fori_loop(0, E, zero_plane, 0)
             if use_hard:
                 def fill(vg, _):
-                    hard_buf[vg] = frozen[vg].astype(jnp.float32)
+                    hard_buf[vg] = frozen[vg].astype(jnp.bfloat16)
                     return 0
 
                 jax.lax.fori_loop(0, VG, fill, 0)
@@ -399,7 +415,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
                 def refresh(vg, _):
                     hard_buf[vg] = (
                         qv_buf[vg].astype(compute) <= 0
-                    ).astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
                     return 0
 
                 jax.lax.fori_loop(0, VG, refresh, 0)
@@ -468,7 +484,7 @@ def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,
             pltpu.VMEM((VG, Z, Bt), qdtype),
             pltpu.VMEM((E, Z, Bt), store),
             pltpu.VMEM((VG, Z, Bt), jnp.int8),
-            pltpu.VMEM((VG if use_hard else 1, Z, Bt), jnp.float32),
+            pltpu.VMEM((VG if use_hard else 1, Z, Bt), jnp.bfloat16),
             pltpu.VMEM((8, Bt), jnp.int32),
             pltpu.VMEM((8, Bt), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),

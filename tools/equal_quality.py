@@ -1,4 +1,5 @@
-"""Measure the equal-quality claim on TPU (VERDICT r3 #2).
+"""Measure the equal-quality claim on TPU (VERDICT r3 #2; r4 #9 adds
+LDPC_EQ_CODE=5g:BG1:384 for the cross-family confirmation).
 
 Decodes the SAME channel realizations (identical per-chunk PRNG keys)
 with several (decoder, max_iterations) configs across the DVB-S2 r=1/2
@@ -63,8 +64,23 @@ def main():
     from ldpc_toolbox_tpu.decoder.lifted_layered import lifted_layered_decode
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "results/equal_quality.jsonl"
-    code = Code.R1_2
-    lg = lifted_graph_for(code)
+    code_spec = os.environ.get("LDPC_EQ_CODE", "dvbs2:R1_2")
+    if code_spec.startswith("5g:"):
+        from ldpc_toolbox_tpu.codes.nr5g import BaseGraph
+        from ldpc_toolbox_tpu.decoder.lifted import LiftedGraph, nr5g_maps
+
+        _, bgname, zs = code_spec.split(":")
+        bg = BaseGraph[bgname]
+        z = int(zs)
+        h = bg.h(z)
+        lg = LiftedGraph.from_sparse(h, *nr5g_maps(bg, z))
+
+        class code:  # shim: n/k fields only
+            n = h.num_cols
+            k = h.num_cols - h.num_rows
+    else:
+        code = Code[code_spec.split(":")[1]]
+        lg = lifted_graph_for(code)
     rate = code.k / code.n
 
     rows = []
