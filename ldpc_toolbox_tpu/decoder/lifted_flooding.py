@@ -270,6 +270,10 @@ def _fused_flooding_decode(
         resident_flooding_decode,
         resident_flooding_pick_bt,
     )
+    from ..ops.resident_flooding_dual import (
+        resident_flooding_dual_decode,
+        resident_flooding_dual_pick_bt,
+    )
 
     Z = lg.Z
     B_user = llrs.shape[0]
@@ -287,18 +291,35 @@ def _fused_flooding_decode(
     qdtype = store  # channel planes: storage dtype (floats) / i8 (int8)
     import os
 
-    bt = resident_flooding_pick_bt(layout, rule, qdtype, B_user)
-    compressed = False
-    if bt == 0 or os.environ.get("LDPC_FORCE_COMPRESSED"):
-        # message state exceeds VMEM: min-sum-class rules fall back to
-        # the losslessly compressed check-state kernel before giving up
-        # and streaming (ops/resident_compressed.py)
+    # resident form preference (kernels are bit-identical; see
+    # ops/resident_flooding_dual.py for the measured tradeoff):
+    #   dual two-array (r4)  when 2E message planes fit VMEM,
+    #   aliased single-array when only E fits (DVB-S2 float flooding),
+    #   compressed check-state as the min-sum-class backstop,
+    #   streaming otherwise.
+    decode_fn = None
+    bt = 0
+    if not os.environ.get("LDPC_FORCE_ALIASED") and not os.environ.get(
+        "LDPC_FORCE_COMPRESSED"
+    ):
+        bt = resident_flooding_dual_pick_bt(layout, rule, qdtype, B_user)
+        if bt:
+            decode_fn = resident_flooding_dual_decode
+    if bt == 0 and not os.environ.get("LDPC_FORCE_COMPRESSED"):
+        bt = resident_flooding_pick_bt(layout, rule, qdtype, B_user)
+        if bt:
+            decode_fn = resident_flooding_decode
+    if bt == 0:
         btc = compressed_flooding_pick_bt(layout, rule, qdtype, B_user)
         if btc:
             bt = btc
-            compressed = True
+            decode_fn = compressed_flooding_decode
     if resident is None:
         resident = bt > 0
+    if resident and decode_fn is None:
+        # caller forced resident=True on a shape nothing claims: best
+        # effort with the aliased (smallest-footprint) kernel at BT
+        decode_fn = resident_flooding_decode
     tile_w = bt if (resident and bt) else BT
     if B_user % tile_w:
         # pad with strongly-positive LLRs: the all-zero codeword satisfies
@@ -353,12 +374,7 @@ def _fused_flooding_decode(
     inv0[col_of.reshape(-1)] = np.arange(VG * Z)
 
     if resident:
-        decode = (
-            compressed_flooding_decode
-            if compressed
-            else resident_flooding_decode
-        )
-        bits, iters_t, conv_t = decode(
+        bits, iters_t, conv_t = decode_fn(
             q_tiled, bits0, layout, rule, max_iterations
         )
         hard = untile(bits)

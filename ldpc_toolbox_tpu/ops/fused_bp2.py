@@ -561,11 +561,33 @@ class _I8RuleBase:
         self.thr = _i8_thresholds()
 
     def _tab(self, t):
+        import os
+
+        if os.environ.get("LDPC_I8_TAB") == "tree":
+            return self._tab_tree(t)
         c = None
         for T in self.thr:
             term = (t <= T).astype(jnp.int32)
             c = term if c is None else c + term
         return c
+
+    def _tab_tree(self, t):
+        """Balanced select-tree evaluation of the same monotone table
+        (VERDICT r4 #8 experiment): ~log-depth compare/select cascade
+        instead of the indicator sum. Bit-identical values; measured
+        perf delta recorded in RESULTS."""
+        bps = sorted(self.thr)  # ascending breakpoints
+        vals = list(range(len(bps), -1, -1))  # tab value per interval
+
+        def tree(bps, vals):
+            if len(vals) == 1:
+                return jnp.full_like(t, vals[0])
+            mid = len(bps) // 2
+            left = tree(bps[:mid], vals[: mid + 1])
+            right = tree(bps[mid + 1 :], vals[mid + 1 :])
+            return jnp.where(t <= bps[mid], left, right)
+
+        return tree(bps, vals)
 
     def var(self, q, xs, degree):
         inp = jnp.clip(q, -116, 116) if (self.deg1_clip and degree == 1) else q

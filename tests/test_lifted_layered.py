@@ -365,3 +365,37 @@ def test_flagship_flooding_shape_is_resident():
     _, a32 = make_arithmetic("HLMinsumf32")
     rule32 = rule_for(a32)
     assert compressed_layered_pick_bt(layout, rule32, jnp.float32, 512) == 128
+
+
+@pytest.mark.parametrize(
+    "decoder",
+    [
+        "Minsumf32",
+        pytest.param("Minstarapproxi8", marks=pytest.mark.slow),
+    ],
+)
+def test_aliased_flooding_bit_exact(monkeypatch, decoder):
+    """The single-array aliased resident flooding kernel must equal the
+    streaming fused kernels bit-for-bit (small codes route to the dual
+    two-array kernel by default, so force the aliased form here)."""
+    bg = BaseGraph.BG2
+    z = 16
+    lg = LiftedGraph.from_sparse(bg.h(z), *nr5g_maps(bg, z))
+    n = bg.num_cols * z
+    llr = _llrs(n, 256, 1.3, seed=11)
+    _, a = make_arithmetic(decoder)
+
+    o1 = lifted_flooding_decode(
+        lg, a, llr, 10, fused=True, resident=False, compact=False
+    )
+    monkeypatch.setenv("LDPC_FORCE_ALIASED", "1")
+    o2 = lifted_flooding_decode(lg, a, llr, 10, fused=True, resident=True)
+    s = np.asarray(o1["success"])
+    assert 0 < s.sum() < 256
+    np.testing.assert_array_equal(s, np.asarray(o2["success"]))
+    np.testing.assert_array_equal(
+        np.asarray(o1["iterations"]), np.asarray(o2["iterations"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1["codeword"]), np.asarray(o2["codeword"])
+    )

@@ -145,9 +145,18 @@ def main():
     if fused and rule is not None:
         layout = build_fused_layout(lg)
         if schedule == "layered":
-            resident = resident_layered_supported(
-                layout, rule, rule.qv_dtype(arith)
+            from ldpc_toolbox_tpu.ops.resident_compressed import (
+                compressed_layered_supported,
             )
+
+            if resident_layered_supported(
+                layout, rule, rule.qv_dtype(arith)
+            ):
+                resident = True
+            elif compressed_layered_supported(
+                layout, rule, rule.qv_dtype(arith)
+            ):
+                resident = "compressed"
         else:
             from ldpc_toolbox_tpu.ops.resident_compressed import (
                 compressed_flooding_supported,
@@ -155,11 +164,19 @@ def main():
             from ldpc_toolbox_tpu.ops.resident_flooding import (
                 resident_flooding_supported,
             )
-
-            resident = resident_flooding_supported(
-                layout, rule, rule.storage_dtype
+            from ldpc_toolbox_tpu.ops.resident_flooding_dual import (
+                resident_flooding_dual_supported,
             )
-            if not resident and compressed_flooding_supported(
+
+            if resident_flooding_dual_supported(
+                layout, rule, rule.storage_dtype
+            ):
+                resident = True  # r4 dual-array form
+            elif resident_flooding_supported(
+                layout, rule, rule.storage_dtype
+            ):
+                resident = "aliased"
+            elif compressed_flooding_supported(
                 layout, rule, rule.storage_dtype
             ):
                 resident = "compressed"

@@ -61,6 +61,8 @@ def res_label(r):
     res = r.get("resident")
     if res == "compressed":
         return "compressed resident"
+    if res == "aliased":
+        return "aliased resident"
     return "resident" if res else "streaming"
 
 
