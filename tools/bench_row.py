@@ -26,7 +26,14 @@ from ldpc_toolbox_tpu.cli import _enable_compile_cache
 
 _enable_compile_cache()
 
-OUT = pathlib.Path(__file__).parent.parent / "results" / "bench_table.jsonl"
+import os
+
+OUT = pathlib.Path(
+    os.environ.get(
+        "LDPC_BENCH_OUT",
+        pathlib.Path(__file__).parent.parent / "results" / "bench_table.jsonl",
+    )
+)
 
 
 def build(spec: str):

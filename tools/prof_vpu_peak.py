@@ -76,8 +76,8 @@ def make(fn_name):
     f = pl2.pallas_call(
         kernel,
         grid=(R,),
-        in_specs=[pl2.BlockSpec(memory_space=pl2.ANY)],
-        out_specs=pl2.BlockSpec(memory_space=pl2.ANY),
+        in_specs=[pl2.BlockSpec((Z, B), lambda i: (0, 0))],
+        out_specs=pl2.BlockSpec((Z, B), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((Z, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Z, B), jnp.float32)],
     )
