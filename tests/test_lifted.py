@@ -336,3 +336,25 @@ def test_fused_unaligned_z_matches_plane_gather_path():
     # a meaningful share converges within the 5-iteration budget, so the
     # equality assertions above compare real decodes, not all-failures
     assert s1.sum() >= 30
+
+
+def test_i8_tab_tree_equals_sum():
+    """The select-tree correction-table evaluation (round-5 default)
+    must be value-identical to the round-4 indicator-sum form over the
+    full input range (arithmetic.rs:589-602 table semantics)."""
+    import numpy as np
+
+    from ldpc_toolbox_tpu.decoder.arithmetic import i8_correction_table
+    from ldpc_toolbox_tpu.ops.fused_bp2 import MinstarApproxI8Rule
+
+    r = MinstarApproxI8Rule()
+    t = jnp.arange(256, dtype=jnp.int32)
+    tree = np.asarray(r._tab_tree(t))
+    c = None
+    for T in r.thr:
+        term = np.asarray(t <= T, np.int32)
+        c = term if c is None else c + term
+    np.testing.assert_array_equal(tree, c)
+    np.testing.assert_array_equal(
+        tree[:128], np.asarray(i8_correction_table())
+    )
