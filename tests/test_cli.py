@@ -209,3 +209,19 @@ def test_external_decoder_example():
     out = dec.decode(llr, 30)
     assert out.success
     np.testing.assert_array_equal(out.codeword, cw)
+
+
+def test_cli_ber_precompile(tmp_path, monkeypatch):
+    """`ber --precompile` AOT-compiles the sweep step into the persistent
+    cache and exits without running frames."""
+    monkeypatch.setenv("LDPC_TOOLBOX_TPU_CACHE", str(tmp_path / "cache"))
+    out = run_cli(
+        [
+            "ber", "5g:2:8", "--decoder", "Minsumf32", "--precompile",
+            "--min-ebn0", "1", "--max-ebn0", "1", "--step-ebn0", "1",
+            "--max-iter", "4", "--batch-size", "8",
+        ]
+    )
+    assert "precompiled 5g:2:8 Minsumf32" in out
+    # frames did not run: no progress rows after the header
+    assert "0.00e+00" not in out
