@@ -34,6 +34,10 @@ SELFTEST_FAMILIES = [
     "HLMinstarapproxi8",
     "c2:Minsumbf16",
     "c2:HLMinsumbf16",
+    # the round-5 single-array aliased flooding kernel (small codes
+    # route to the dual form by default; the "aliased:" prefix forces
+    # it so the flagship's carrying kernel gets on-device coverage)
+    "aliased:Minsumbf16",
 ]
 
 
@@ -112,19 +116,32 @@ def run_selftest(
     failures = []
     for name in families or SELFTEST_FAMILIES:
         key, _, decoder = name.rpartition(":")
-        lg, llr = workload_for(key or "dvbs2")
+        forced_alias = key == "aliased"
+        lg, llr = workload_for("dvbs2" if forced_alias else (key or "dvbs2"))
         schedule, arith = make_arithmetic(decoder)
         rule = rule_for(arith)
         assert rule is not None, f"{name} has no fused rule"
         # no silent fallback: a failure to build/compile the fused path
         # is itself a selftest failure
-        if schedule == "layered":
-            # resident kernel when the code fits, streaming otherwise
-            fused = _fused_layered_decode(lg, arith, rule, llr, iterations)
-            plane = lifted_layered_decode(lg, arith, llr, iterations)
-        else:
-            fused = _fused_flooding_decode(lg, arith, rule, llr, iterations)
-            plane = lifted_flooding_decode(lg, arith, llr, iterations)
+        import os as _os
+
+        if forced_alias:
+            _os.environ["LDPC_FORCE_ALIASED"] = "1"
+        try:
+            if schedule == "layered":
+                # resident kernel when the code fits, streaming otherwise
+                fused = _fused_layered_decode(
+                    lg, arith, rule, llr, iterations
+                )
+                plane = lifted_layered_decode(lg, arith, llr, iterations)
+            else:
+                fused = _fused_flooding_decode(
+                    lg, arith, rule, llr, iterations
+                )
+                plane = lifted_flooding_decode(lg, arith, llr, iterations)
+        finally:
+            if forced_alias:
+                del _os.environ["LDPC_FORCE_ALIASED"]
         sf = np.asarray(fused["success"])
         sp = np.asarray(plane["success"])
         cw_f = np.asarray(fused["codeword"])
