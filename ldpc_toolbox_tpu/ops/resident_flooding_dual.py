@@ -49,6 +49,7 @@ import numpy as np
 
 from .fused_bp2 import BT, FusedLayout, _interpret, _roll
 from .resident_layered import (
+    GROUP_UNROLL_BUDGET,
     SWEEP_UNROLL_BUDGET,
     SYN_UNROLL_BUDGET,
     VMEM_BUDGET,
@@ -111,16 +112,19 @@ def _plan(layout: FusedLayout, rule):
     if env is not None:
         v = env not in ("0", "false", "")
         return v, v, v
+    per_group = [
+        10 * m.d + _rule_check_cost(rule, m.d) for m in layout.chk_meta
+    ]
     check = sum(
-        (m.g1 - m.g0) * (10 * m.d + _rule_check_cost(rule, m.d))
-        for m in layout.chk_meta
+        (m.g1 - m.g0) * c for m, c in zip(layout.chk_meta, per_group)
     )
     var = sum(
         (m.g1 - m.g0) * 14 * m.d for m in layout.var_meta
     )
     syn = 6 * layout.E
     return (
-        check <= SWEEP_UNROLL_BUDGET,
+        check <= SWEEP_UNROLL_BUDGET
+        and max(per_group, default=0) <= GROUP_UNROLL_BUDGET,
         var <= SWEEP_UNROLL_BUDGET,
         syn <= SYN_UNROLL_BUDGET,
     )

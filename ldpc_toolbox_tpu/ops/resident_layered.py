@@ -81,8 +81,18 @@ VMEM_BUDGET = 112 * 2**20
 VMEM_LIMIT = 125 * 2**20
 
 #: static-unroll budgets: rough vector-op counts above which the
-#: unrolled program is not worth the Mosaic compile (fallback: dynamic)
-SWEEP_UNROLL_BUDGET = 40_000
+#: unrolled program is not worth the Mosaic compile (fallback: dynamic).
+#: Two independent gates (both measured on the r5 bench chip, cold
+#: remote compiles): TOTAL program size compiles roughly sublinearly
+#: (flagship min-sum ~12k ops -> 152-187 s; flagship i8 ~87k ops ->
+#: 309 s, and the unrolled form beat the dynamic sweep 256.7 vs
+#: 235.9 Mbit/s at LOWER compile cost), but the size of a single
+#: check-fold EXPRESSION blows Mosaic's scheduler up superlinearly
+#: (5G BG1 i8, d=19 quadratic fold = ~6.7k ops in one group: 713 s
+#: cold for a *smaller* 56k-op total, for +14% throughput — routed
+#: dynamic by default; LDPC_RESIDENT_UNROLL=1 opts in).
+SWEEP_UNROLL_BUDGET = 90_000
+GROUP_UNROLL_BUDGET = 4_000
 SYN_UNROLL_BUDGET = 10_000
 
 
@@ -166,12 +176,18 @@ def _unroll_plan(layout: FusedLayout, rule):
     if env is not None:
         v = env not in ("0", "false", "")
         return v, v
+    per_group = [
+        12 * m.d + _rule_check_cost(rule, m.d) for m in layout.chk_meta
+    ]
     sweep = sum(
-        (m.g1 - m.g0) * (12 * m.d + _rule_check_cost(rule, m.d))
-        for m in layout.chk_meta
+        (m.g1 - m.g0) * c for m, c in zip(layout.chk_meta, per_group)
     )
     syn = 6 * layout.E
-    return sweep <= SWEEP_UNROLL_BUDGET, syn <= SYN_UNROLL_BUDGET
+    return (
+        sweep <= SWEEP_UNROLL_BUDGET
+        and max(per_group, default=0) <= GROUP_UNROLL_BUDGET,
+        syn <= SYN_UNROLL_BUDGET,
+    )
 
 
 def resident_layered_decode(qv0_t, bits0_t, layout: FusedLayout, rule,

@@ -209,6 +209,11 @@ def test_compaction_bit_exact_multi_tile(decode):
         pytest.param(
             "0", "128", "Minstarapproxi8", marks=pytest.mark.slow
         ),
+        # static-unrolled quadratic i8 fold (the r5 default for the
+        # DVB-S2-normal i8 shapes once the budget admits ~87k-op sweeps)
+        pytest.param(
+            "1", "128", "Minstarapproxi8", marks=pytest.mark.slow
+        ),
         # auto-picked wide batch tile
         pytest.param("1", "", "Minsumf32", marks=pytest.mark.slow),
     ],
