@@ -19,6 +19,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
@@ -393,6 +394,16 @@ def run_selftest(args) -> None:
 def run_ber(args) -> None:
     from .simulation.factory import BerTestBuilder, Modulation
 
+    if getattr(args, "unroll", "auto") != "auto":
+        # route the resident kernels' codegen planner (ops/
+        # resident_layered._unroll_plan and the flooding _plans, which
+        # read this env at trace time): "static" buys e.g. +14% on the
+        # 5G BG1 i8 rows at a ~12-minute once-per-host cold compile;
+        # "dynamic" avoids long compiles on unclean hosts (RESULTS
+        # "Unroll budget")
+        os.environ["LDPC_RESIDENT_UNROLL"] = (
+            "1" if args.unroll == "static" else "0"
+        )
     try:
         puncturing = (
             parse_puncturing_pattern(args.puncturing) if args.puncturing else None
@@ -541,6 +552,7 @@ def run_precompile(args) -> None:
                 "--batch-size", str(args.batch_size),
                 "--max-iter", str(args.max_iter),
                 "--modulation", args.modulation,
+                "--unroll", args.unroll,
             ]
             proc = subprocess.Popen(
                 cmd,
@@ -613,6 +625,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference-CLI compatibility (ignored)")
     s.add_argument("--checkpoint", help="sweep checkpoint file (resumable)")
     s.add_argument("--profile-dir", help="jax.profiler trace directory")
+    s.add_argument("--unroll", choices=["auto", "static", "dynamic"],
+                   default="auto",
+                   help="resident-kernel codegen: 'static' forces full "
+                        "unrolling past the compile-time budget (e.g. "
+                        "+14%% on 5G BG1 i8 for a ~12 min once-per-host "
+                        "cold compile), 'dynamic' forces the group-looped "
+                        "sweep; default picks by program size")
     s.add_argument("--no-lifted", action="store_true",
                    help="disable the block-circulant fast path")
     s.add_argument("--precompile", action="store_true",
@@ -639,6 +658,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch-size", type=int, default=128)
     s.add_argument("--max-iter", type=int, default=100)
     s.add_argument("--modulation", default="BPSK", choices=["BPSK", "8PSK"])
+    s.add_argument("--unroll", choices=["auto", "static", "dynamic"],
+                   default="auto",
+                   help="forwarded to each ber --precompile subprocess")
     s.add_argument("-j", "--jobs", type=int, default=2,
                    help="parallel compile processes")
     s.set_defaults(func=run_precompile)

@@ -225,3 +225,25 @@ def test_cli_ber_precompile(tmp_path, monkeypatch):
     assert "precompiled 5g:2:8 Minsumf32" in out
     # frames did not run: no progress rows after the header
     assert "0.00e+00" not in out
+
+
+def test_cli_ber_unroll_flag(tmp_path, monkeypatch):
+    """`ber --unroll static|dynamic` routes the resident kernels'
+    codegen planner via LDPC_RESIDENT_UNROLL (RESULTS "Unroll
+    budget"); `auto` leaves the planner's program-size gates alone."""
+    import os
+
+    monkeypatch.setenv("LDPC_TOOLBOX_TPU_CACHE", str(tmp_path / "cache"))
+    monkeypatch.delenv("LDPC_RESIDENT_UNROLL", raising=False)
+    base = [
+        "ber", "5g:2:8", "--decoder", "Minsumf32", "--precompile",
+        "--min-ebn0", "1", "--max-ebn0", "1", "--step-ebn0", "1",
+        "--max-iter", "2", "--batch-size", "8",
+    ]
+    run_cli(base + ["--unroll", "static"])
+    assert os.environ["LDPC_RESIDENT_UNROLL"] == "1"
+    run_cli(base + ["--unroll", "dynamic"])
+    assert os.environ["LDPC_RESIDENT_UNROLL"] == "0"
+    monkeypatch.delenv("LDPC_RESIDENT_UNROLL", raising=False)
+    run_cli(base)  # auto: untouched
+    assert "LDPC_RESIDENT_UNROLL" not in os.environ

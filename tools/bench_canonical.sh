@@ -27,6 +27,7 @@ row dvbs2:R1_2 Minsumbf16 1.0 30 512
 row dvbs2:R1_2 HLMinsumf32 1.0 30 512
 row dvbs2:R1_2 HLMinstarapproxi8 1.0 30 512
 row dvbs2:R1_2 HLAminstari8 1.0 30 512
+row dvbs2:R1_2 Minstarapproxi8 1.0 30 512
 # equal-quality operating row (measured budget 18, RESULTS)
 row dvbs2:R1_2 HLMinsumbf16 1.0 18 1024
 

@@ -110,6 +110,7 @@ def render(rows):
         ("dvbs2:R1_2", "HLMinsumf32"),
         ("dvbs2:R1_2", "HLMinstarapproxi8"),
         ("dvbs2:R1_2", "HLAminstari8"),
+        ("dvbs2:R1_2", "Minstarapproxi8"),
         ("ccsds:R1_2:4096", "Minsumbf16"),
         ("c2", "Minsumbf16"),
         ("5g:BG1:384", "Minsumbf16"),
