@@ -43,6 +43,8 @@ row c2 Minsumbf16 4.0 30 512
 
 # 5G NR
 row 5g:BG1:384 HLMinsumbf16 1.0 30 512
+# BG1 measured equal-quality budget (15 iters, RESULTS)
+row 5g:BG1:384 HLMinsumbf16 1.0 15 1024
 row 5g:BG1:384 Minsumbf16 1.0 30 512
 row 5g:BG1:384 Minstarapproxi8 1.0 30 512
 row 5g:BG1:384 HLMinstarapproxi8 1.0 30 512

@@ -100,6 +100,13 @@ def render(rows):
         f"| HLMinsumbf16 ({res_label(r)}) | **{r['mbps_sustained']}** | "
         f"{r['avg_iterations']} | {r['compile_s']} |"
     )
+    r = rows.get(("5g:BG1:384", "HLMinsumbf16", 15, 1024))
+    if r is not None:
+        out.append(
+            f"| 5G BG1, measured equal-quality budget (15 iters, B=1024) "
+            f"| HLMinsumbf16 ({res_label(r)}) | **{r['mbps_sustained']}** | "
+            f"{r['avg_iterations']} | {r['compile_s']} |"
+        )
     out.append("")
     out.append("**Flooding and other-rule rows:**")
     out.append("")
